@@ -1,0 +1,194 @@
+"""Dataset container, statistics, and the padded-batch loader.
+
+Replaces the reference's AtomGraphDataset + PyG DataLoader (reference:
+sevenn/train/dataset.py, sevenn/train/collate.py) with label-grouped
+lists of numpy graphs and a loader that emits statically-padded batches
+(capacities computed once per dataset so XLA compiles each shape once).
+
+Statistics semantics follow the reference:
+- per-atom energy mean / std (shift candidates)
+- force RMS, species-wise force RMS (scale candidates)
+- species reference energies by Ridge(alpha=0.1) regression on
+  compositions (reference: sevenn/train/dataset.py:279-309)
+- average neighbor count (conv denominator)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import keys as K
+from ..model.graph import bucket_capacity, collate, structure_to_graph
+from .vasp import Structure
+
+
+class GraphDataset:
+    def __init__(self, graphs: Optional[List[Dict]] = None):
+        self.graphs: List[Dict] = list(graphs) if graphs else []
+
+    def __len__(self):
+        return len(self.graphs)
+
+    @staticmethod
+    def from_structures(
+        structures: Sequence[Structure],
+        cutoff: float,
+        type_map: Dict[int, int],
+        label: str = K.LABEL_NONE,
+    ) -> 'GraphDataset':
+        gs = []
+        for s in structures:
+            g = structure_to_graph(s, cutoff, type_map)
+            g[K.USER_LABEL] = s.info.get('label', label)
+            gs.append(g)
+        return GraphDataset(gs)
+
+    def extend(self, other: 'GraphDataset'):
+        self.graphs.extend(other.graphs)
+
+    # ---- statistics -----------------------------------------------------
+    def per_atom_energy_mean(self) -> float:
+        vals = [
+            float(g[K.ENERGY][0]) / int(g[K.NUM_ATOMS][0])
+            for g in self.graphs
+            if np.isfinite(g[K.ENERGY][0])
+        ]
+        return float(np.mean(vals))
+
+    def per_atom_energy_std(self) -> float:
+        vals = [
+            float(g[K.ENERGY][0]) / int(g[K.NUM_ATOMS][0])
+            for g in self.graphs
+            if np.isfinite(g[K.ENERGY][0])
+        ]
+        return float(np.std(vals))
+
+    def force_rms(self) -> float:
+        sq = [
+            np.square(g[K.FORCE][np.isfinite(g[K.FORCE])])
+            for g in self.graphs
+        ]
+        return float(np.sqrt(np.mean(np.concatenate([s.ravel() for s in sq]))))
+
+    def avg_num_neigh(self) -> float:
+        counts = []
+        for g in self.graphs:
+            counts.extend(np.unique(g[K.EDGE_IDX][0], return_counts=True)[1])
+        return float(np.mean(counts))
+
+    def species_ref_energies(self, num_species: int) -> np.ndarray:
+        """Ridge(alpha=0.1, no intercept) fit of E on composition counts
+        over species present (reference: sevenn/train/dataset.py:279-309)."""
+        c = np.zeros((len(self.graphs), num_species))
+        y = np.zeros(len(self.graphs))
+        for i, g in enumerate(self.graphs):
+            c[i] = np.bincount(g[K.ATOM_TYPE], minlength=num_species)
+            y[i] = g[K.ENERGY][0]
+        present = ~np.all(c == 0, axis=0)
+        cr = c[:, present]
+        # ridge: (X^T X + alpha I)^-1 X^T y
+        alpha = 0.1
+        A = cr.T @ cr + alpha * np.eye(cr.shape[1])
+        coef = np.linalg.solve(A, cr.T @ y)
+        full = np.zeros(num_species)
+        full[present] = coef
+        return full
+
+    def species_force_rms(self, num_species: int) -> np.ndarray:
+        sums = np.zeros(num_species)
+        counts = np.zeros(num_species)
+        for g in self.graphs:
+            for sp in range(num_species):
+                m = g[K.ATOM_TYPE] == sp
+                if m.any():
+                    sums[sp] += np.square(g[K.FORCE][m]).sum()
+                    counts[sp] += m.sum() * 3
+        out = np.sqrt(np.divide(sums, np.maximum(counts, 1)))
+        out[counts == 0] = 1.0
+        return out
+
+    # ---- splitting ------------------------------------------------------
+    def divide(self, ratio: float, seed: int = 0
+               ) -> Tuple['GraphDataset', 'GraphDataset']:
+        """(train, valid) split; valid fraction = ratio (reference:
+        sevenn/train/dataset.py:187-236)."""
+        n = len(self.graphs)
+        idx = np.random.default_rng(seed).permutation(n)
+        n_valid = int(n * ratio)
+        valid = [self.graphs[i] for i in idx[:n_valid]]
+        train = [self.graphs[i] for i in idx[n_valid:]]
+        return GraphDataset(train), GraphDataset(valid)
+
+
+class Loader:
+    """Iterable over statically-padded batches.
+
+    Capacities are fixed at construction (max batch totals + headroom,
+    bucketed) so every batch of an epoch compiles to the same shapes.
+    """
+
+    def __init__(
+        self,
+        dataset: GraphDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        n_node: Optional[int] = None,
+        n_edge: Optional[int] = None,
+        data_weights: Optional[Dict[str, Dict[str, float]]] = None,
+    ):
+        self.graphs = dataset.graphs
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.data_weights = data_weights
+
+        if n_node is None or n_edge is None:
+            nodes = np.array([len(g[K.POS]) for g in self.graphs])
+            edges = np.array([g[K.EDGE_IDX].shape[1] for g in self.graphs])
+            order = np.argsort(-nodes)  # worst-case packing estimate
+            max_n = max(
+                nodes[order[i:i + batch_size]].sum()
+                for i in range(0, len(nodes), batch_size)
+            ) if len(nodes) else batch_size
+            order_e = np.argsort(-edges)
+            max_e = max(
+                edges[order_e[i:i + batch_size]].sum()
+                for i in range(0, len(edges), batch_size)
+            ) if len(edges) else batch_size
+            self.n_node = n_node or bucket_capacity(int(max_n))
+            self.n_edge = n_edge or bucket_capacity(int(max_e))
+        else:
+            self.n_node = n_node
+            self.n_edge = n_edge
+        self.n_graph = batch_size
+
+    def __len__(self):
+        return math.ceil(len(self.graphs) / self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            chunk = [self.graphs[j] for j in order[i:i + self.batch_size]]
+            batch = collate(
+                chunk, n_node=self.n_node, n_edge=self.n_edge,
+                n_graph=self.n_graph,
+            )
+            if self.data_weights is not None:
+                batch[K.DATA_WEIGHT] = self._weights_for(chunk)
+            yield batch
+
+    def _weights_for(self, chunk) -> Dict[str, np.ndarray]:
+        out = {}
+        for wkey in (K.PER_ATOM_ENERGY, K.FORCE, K.STRESS):
+            w = np.ones(self.n_graph, np.float32)
+            for b, g in enumerate(chunk):
+                label = g.get(K.USER_LABEL, K.LABEL_NONE)
+                w[b] = self.data_weights.get(label, {}).get(wkey, 1.0)
+            out[wkey] = w
+        return out

@@ -1,0 +1,409 @@
+"""The NequIP-style equivariant GNN potential: spec, init, apply.
+
+From-scratch functional re-design of the reference's module-list model
+(reference: sevenn/model_build.py:186-445 and sevenn/nn/*):
+
+- a frozen, hashable ``ModelSpec`` carries every static decision (irreps
+  per layer, TP instruction lists, activation names, cutoff function...)
+- ``init_params`` builds a nested params dict whose keys follow the
+  reference's layer names (``0_self_interaction_1`` ...) so checkpoint
+  import and EWC read naturally
+- ``energy_network`` computes atomic/total energies from edge vectors;
+  ``apply_model`` wraps it with jax.grad over edge vectors to produce
+  forces and the per-graph virial/stress, mirroring the semantics of the
+  reference's from-edge gradient head (reference:
+  sevenn/nn/force_output.py:133-215) with one jax.grad instead of
+  manual autograd plumbing.
+
+Everything here is pure and jit-able; batches are the padded dicts of
+``model.graph``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import keys as K
+from ..irreps import Irrep, Irreps, tp_out_irreps
+from ..ops.gate import GateSpec, apply_gate, gate_spec
+from ..ops.linear import (
+    LinearSpec,
+    apply_linear,
+    init_linear_weights,
+    linear_spec,
+)
+from ..ops.mlp import mlp_apply, mlp_init
+from ..ops.radial import bessel_basis, bessel_init, poly_cutoff, xplor_cutoff
+from ..ops.spherical import spherical_harmonics
+from ..ops.tensor_product import (
+    TensorProductSpec,
+    apply_tp,
+    fctp_spec,
+    init_tp_weights,
+    uvu_tp_spec,
+)
+from ..ops.util import safe_norm
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+
+@dataclass(frozen=True)
+class EdgeEmbedSpec:
+    cutoff: float
+    bessel_num: int = 8
+    bessel_trainable: bool = True
+    cutoff_function: str = 'poly_cut'      # 'poly_cut' | 'XPLOR'
+    poly_cut_p: int = 6
+    cutoff_on: Optional[float] = None      # for XPLOR
+    lmax_edge: int = 1
+    parity: int = -1                       # -1: E(3) (odd SH), +1: SE(3)
+    normalize_sph: bool = True
+
+
+@dataclass(frozen=True)
+class BlockSpec:
+    t: int
+    irreps_x: Irreps
+    irreps_out: Irreps
+    self_connection: str                   # 'nequip' | 'linear' | 'none'
+    sc_spec: object                        # TensorProductSpec | LinearSpec
+    si1: LinearSpec
+    conv_tp: TensorProductSpec
+    radial_hs: Tuple[int, ...]
+    act_radial: str
+    denominator: float
+    train_denominator: bool
+    si2: LinearSpec
+    gate: GateSpec
+
+
+@dataclass(frozen=True)
+class ReadoutSpec:
+    as_fcn: bool
+    lin1: Optional[LinearSpec] = None
+    lin2: Optional[LinearSpec] = None
+    fcn_hs: Tuple[int, ...] = ()
+    fcn_act: str = 'relu'
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    num_species: int
+    type_map: Tuple[Tuple[int, int], ...]  # (Z, onehot idx) pairs
+    edge: EdgeEmbedSpec
+    blocks: Tuple[BlockSpec, ...]
+    readout: ReadoutSpec
+    shift: Tuple[float, ...]               # len 1 or num_species
+    scale: Tuple[float, ...]
+    train_shift_scale: bool = False
+    use_bias_in_linear: bool = False
+
+    @property
+    def cutoff(self) -> float:
+        return self.edge.cutoff
+
+    @property
+    def irreps_filter(self) -> Irreps:
+        return Irreps.spherical_harmonics(
+            self.edge.lmax_edge, self.edge.parity
+        )
+
+
+def build_nequip_block(
+    t: int,
+    irreps_x: Irreps,
+    irreps_filter: Irreps,
+    irreps_out_tp: Irreps,
+    irreps_out: Irreps,
+    num_species: int,
+    radial_hidden: Tuple[int, ...],
+    bessel_num: int,
+    act_radial: str,
+    act_scalar: Dict[str, str],
+    act_gate: Dict[str, str],
+    self_connection: str,
+    denominator: float,
+    train_denominator: bool,
+    biases: bool,
+) -> BlockSpec:
+    """Assemble one interaction block (reference:
+    sevenn/nn/interaction_blocks.py:22-86)."""
+    gate = gate_spec(irreps_out, act_scalar, act_gate)
+    irreps_gate_in = gate.irreps_in
+
+    node_attr_irreps = Irreps(f'{num_species}x0e')
+    if self_connection == 'nequip':
+        sc = fctp_spec(irreps_x, node_attr_irreps, irreps_gate_in)
+    elif self_connection == 'linear':
+        sc = linear_spec(irreps_x, irreps_gate_in, biases=False)
+    elif self_connection == 'none':
+        sc = None
+    else:
+        raise ValueError(self_connection)
+
+    si1 = linear_spec(irreps_x, irreps_x, biases=biases)
+    conv_tp = uvu_tp_spec(irreps_x, irreps_filter, irreps_out_tp)
+    si2 = linear_spec(conv_tp.irreps_out, irreps_gate_in, biases=biases)
+    return BlockSpec(
+        t=t,
+        irreps_x=irreps_x,
+        irreps_out=gate.irreps_out,
+        self_connection=self_connection,
+        sc_spec=sc,
+        si1=si1,
+        conv_tp=conv_tp,
+        radial_hs=(bessel_num,) + tuple(radial_hidden)
+        + (conv_tp.weight_numel,),
+        act_radial=act_radial,
+        denominator=denominator,
+        train_denominator=train_denominator,
+        si2=si2,
+        gate=gate,
+    )
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+def init_params(spec: ModelSpec, seed: int = 0) -> Params:
+    rng = np.random.default_rng(seed)
+    p: Params = {}
+
+    p['edge_embedding'] = {
+        'bessel_coeffs': bessel_init(
+            spec.edge.cutoff, spec.edge.bessel_num
+        ).astype(np.float32)
+    }
+
+    one_hot = Irreps(f'{spec.num_species}x0e')
+    embed = linear_spec(one_hot, spec.blocks[0].irreps_x,
+                        biases=spec.use_bias_in_linear)
+    p['onehot_to_feature_x'] = _linear_params(embed, rng)
+
+    for blk in spec.blocks:
+        t = blk.t
+        if blk.self_connection == 'nequip':
+            p[f'{t}_self_connection_intro'] = _tp_params(blk.sc_spec, rng)
+        elif blk.self_connection == 'linear':
+            p[f'{t}_self_connection_intro'] = _linear_params(blk.sc_spec, rng)
+        p[f'{t}_self_interaction_1'] = _linear_params(blk.si1, rng)
+        conv = {
+            f'weight_nn_w{i}': w
+            for i, w in enumerate(mlp_init(blk.radial_hs, rng))
+        }
+        conv['denominator'] = np.array([blk.denominator], np.float32)
+        p[f'{t}_convolution'] = conv
+        p[f'{t}_self_interaction_2'] = _linear_params(blk.si2, rng)
+
+    if spec.readout.as_fcn:
+        p['readout_FCN'] = {
+            f'w{i}': w
+            for i, w in enumerate(mlp_init(spec.readout.fcn_hs, rng))
+        }
+    else:
+        p['reduce_input_to_hidden'] = _linear_params(spec.readout.lin1, rng)
+        p['reduce_hidden_to_energy'] = _linear_params(spec.readout.lin2, rng)
+
+    p['rescale_atomic_energy'] = {
+        'shift': np.asarray(spec.shift, np.float32),
+        'scale': np.asarray(spec.scale, np.float32),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+def _linear_params(s: LinearSpec, rng) -> Dict[str, np.ndarray]:
+    return {f'w{i}': w for i, w in enumerate(init_linear_weights(s, rng))}
+
+
+def _tp_params(s: TensorProductSpec, rng) -> Dict[str, np.ndarray]:
+    return {f'w{i}': w for i, w in enumerate(init_tp_weights(s, rng))}
+
+
+def _linear_w(p: Dict[str, jnp.ndarray]):
+    return [p[f'w{i}'] for i in range(len(p))]
+
+
+def trainable_mask(spec: ModelSpec, params: Params) -> Params:
+    """Pytree of bools: which leaves receive gradient updates."""
+    mask = jax.tree_util.tree_map(lambda _: True, params)
+    mask['edge_embedding']['bessel_coeffs'] = spec.edge.bessel_trainable
+    for blk in spec.blocks:
+        mask[f'{blk.t}_convolution']['denominator'] = blk.train_denominator
+    mask['rescale_atomic_energy']['shift'] = spec.train_shift_scale
+    mask['rescale_atomic_energy']['scale'] = spec.train_shift_scale
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def compute_edge_vec(data: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """edge_vec = pos[j] - pos[i] + shift . cell (batched PBC)."""
+    idx = data[K.EDGE_IDX]
+    pos = data[K.POS]
+    cell_of_edge = data[K.CELL][data[K.BATCH][idx[0]]]
+    return (
+        pos[idx[1]] - pos[idx[0]]
+        + jnp.einsum('ei,eij->ej', data[K.CELL_SHIFT], cell_of_edge)
+    )
+
+
+def energy_network(
+    spec: ModelSpec,
+    params: Params,
+    data: Dict[str, jnp.ndarray],
+    edge_vec: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Edge vectors + graph -> atomic & total energies (pure, jit-able)."""
+    out = dict(data)
+    es = spec.edge
+    n_node = data[K.POS].shape[0]
+    n_graph = data[K.CELL].shape[0]
+    idx = data[K.EDGE_IDX]
+    edge_src = idx[1]   # messages flow j -> i (reference convention)
+    edge_dst = idx[0]
+
+    # --- edge embedding ---
+    r = safe_norm(edge_vec)
+    basis = bessel_basis(
+        r, params['edge_embedding']['bessel_coeffs'], es.cutoff
+    )
+    if es.cutoff_function == 'poly_cut':
+        env = poly_cutoff(r, es.cutoff, es.poly_cut_p)
+    elif es.cutoff_function == 'XPLOR':
+        env = xplor_cutoff(r, es.cutoff, es.cutoff_on)
+    else:
+        raise ValueError(es.cutoff_function)
+    # padded edges are killed here once; the radial MLP maps 0 -> 0
+    # exactly (no biases), so their messages and gradients vanish
+    emb = basis * env[..., None] * data[K.EDGE_MASK][..., None]
+    sh = spherical_harmonics(es.lmax_edge, normalize=es.normalize_sph)
+    edge_attr = sh(edge_vec)
+    out[K.EDGE_LENGTH] = r
+    out[K.EDGE_EMBEDDING] = emb
+    out[K.EDGE_ATTR] = edge_attr
+
+    # --- node embedding ---
+    onehot = jax.nn.one_hot(
+        data[K.ATOM_TYPE], spec.num_species, dtype=edge_vec.dtype
+    )
+    out[K.NODE_ATTR] = onehot
+    one_hot_irreps = Irreps(f'{spec.num_species}x0e')
+    embed_spec = linear_spec(one_hot_irreps, spec.blocks[0].irreps_x,
+                             biases=spec.use_bias_in_linear)
+    x = apply_linear(embed_spec, _linear_w(params['onehot_to_feature_x']),
+                     onehot)
+
+    # --- interaction blocks ---
+    for blk in spec.blocks:
+        t = blk.t
+        if blk.self_connection == 'nequip':
+            sc = apply_tp(
+                blk.sc_spec, x, onehot,
+                _linear_w(params[f'{t}_self_connection_intro']),
+            )
+        elif blk.self_connection == 'linear':
+            sc = apply_linear(
+                blk.sc_spec,
+                _linear_w(params[f'{t}_self_connection_intro']), x,
+            )
+        else:
+            sc = None
+
+        x = apply_linear(blk.si1, _linear_w(params[f'{t}_self_interaction_1']),
+                         x)
+
+        conv_p = params[f'{t}_convolution']
+        n_w = len(blk.radial_hs) - 1
+        w_edge = mlp_apply(
+            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+            emb, blk.act_radial,
+        )
+        msg = apply_tp(blk.conv_tp, x[edge_src], edge_attr, w_edge)
+        x = jax.ops.segment_sum(msg, edge_dst, num_segments=n_node)
+        x = x / conv_p['denominator']
+
+        x = apply_linear(blk.si2, _linear_w(params[f'{t}_self_interaction_2']),
+                         x)
+        if sc is not None:
+            x = x + sc
+        x = apply_gate(blk.gate, x)
+
+    out[K.NODE_FEATURE] = x
+
+    # --- readout ---
+    if spec.readout.as_fcn:
+        n_w = len(spec.readout.fcn_hs) - 1
+        atomic_e = mlp_apply(
+            [params['readout_FCN'][f'w{i}'] for i in range(n_w)],
+            x, spec.readout.fcn_act,
+        )
+    else:
+        h = apply_linear(spec.readout.lin1,
+                         _linear_w(params['reduce_input_to_hidden']), x)
+        atomic_e = apply_linear(spec.readout.lin2,
+                                _linear_w(params['reduce_hidden_to_energy']),
+                                h)
+    atomic_e = atomic_e[..., 0]
+    out[K.SCALED_ATOMIC_ENERGY] = atomic_e
+
+    # --- rescale (scalar or species-wise) + masked reduce ---
+    rp = params['rescale_atomic_energy']
+    if rp['scale'].shape[0] > 1:
+        scale = rp['scale'][data[K.ATOM_TYPE]]
+        shift = rp['shift'][data[K.ATOM_TYPE]]
+    else:
+        scale, shift = rp['scale'][0], rp['shift'][0]
+    atomic_e = atomic_e * scale + shift
+    atomic_e = atomic_e * data[K.NODE_MASK]
+    out[K.ATOMIC_ENERGY] = atomic_e
+    out[K.PRED_TOTAL_ENERGY] = jax.ops.segment_sum(
+        atomic_e, data[K.BATCH], num_segments=n_graph
+    )
+    return out
+
+
+def apply_model(
+    spec: ModelSpec,
+    params: Params,
+    data: Dict[str, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """Full forward: energies + forces + stress via one jax.grad over
+    edge vectors (reference: sevenn/nn/force_output.py:158-215)."""
+    idx = data[K.EDGE_IDX]
+    n_node = data[K.POS].shape[0]
+    n_graph = data[K.CELL].shape[0]
+    edge_vec = compute_edge_vec(data)
+
+    def total_e(ev):
+        out = energy_network(spec, params, data, ev)
+        return jnp.sum(out[K.PRED_TOTAL_ENERGY]), out
+
+    fij, out = jax.grad(total_e, has_aux=True)(edge_vec)
+
+    pf = jax.ops.segment_sum(fij, idx[0], num_segments=n_node)
+    nf = jax.ops.segment_sum(fij, idx[1], num_segments=n_node)
+    out[K.PRED_FORCE] = pf - nf
+
+    # per-edge virial, Voigt (xx, yy, zz, xy, yz, zx), summed per graph
+    diag = edge_vec * fij
+    voigt = jnp.concatenate(
+        [
+            diag,
+            (edge_vec[:, 0] * fij[:, 1])[:, None],
+            (edge_vec[:, 1] * fij[:, 2])[:, None],
+            (edge_vec[:, 2] * fij[:, 0])[:, None],
+        ],
+        axis=-1,
+    )
+    batch_of_edge = data[K.BATCH][idx[0]]
+    virial = jax.ops.segment_sum(voigt, batch_of_edge, num_segments=n_graph)
+    out[K.PRED_STRESS] = -virial / data[K.CELL_VOLUME][:, None]
+    return out

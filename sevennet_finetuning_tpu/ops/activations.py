@@ -59,8 +59,12 @@ def moment2_const(name: str) -> float:
     return m2 ** (-0.5)
 
 
+@lru_cache(maxsize=None)
 def get_activation(name: str, normalized: bool = False) -> Callable:
-    """Plain or second-moment-normalized activation by name."""
+    """Plain or second-moment-normalized activation by name.
+
+    Cached so repeated lookups return the identical callable (specs that
+    embed activations stay value-comparable)."""
     base = _ACTS[name]
     if not normalized:
         return base

@@ -1,0 +1,73 @@
+"""Checkpoint save/load (reference: sevenn/scripts/processing_epoch.py:34-44,
+sevenn/util.py:95-231).
+
+A checkpoint is one pickle holding numpy-converted params, optimizer and
+scheduler state, the full config, and the epoch -- the same single-file
+contract the reference uses (model rebuildable from config alone, the
+checkpoint doubling as the deployment source).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(
+    path: str,
+    params,
+    config: Dict,
+    epoch: int = 0,
+    optimizer_state=None,
+    scheduler_state: Optional[Dict] = None,
+):
+    blob = {
+        'model_state_dict': _to_numpy(jax.device_get(params)),
+        'config': config,
+        'epoch': epoch,
+        'scheduler_state_dict': scheduler_state,
+    }
+    # optimizer state contains optax structures; store numpy-converted
+    if optimizer_state is not None:
+        blob['optimizer_state_dict'] = _to_numpy(
+            jax.device_get(optimizer_state)
+        )
+    with open(path, 'wb') as f:
+        pickle.dump(blob, f)
+
+
+def load_checkpoint(path: str) -> Dict:
+    with open(path, 'rb') as f:
+        return pickle.load(f)
+
+
+def model_from_checkpoint(path: str):
+    """Rebuild (spec, params, config) from a checkpoint file."""
+    from ..model.build import build_model_spec
+
+    blob = load_checkpoint(path)
+    config = blob['config']
+    spec = build_model_spec(config)
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x), blob['model_state_dict']
+    )
+    return spec, params, config
+
+
+def save_pytree(path: str, tree):
+    """Fisher / optimal-params artifacts (reference writes
+    fisher_sevenn.pt / opt_params_sevenn.pt)."""
+    with open(path, 'wb') as f:
+        pickle.dump(_to_numpy(tree), f)
+
+
+def load_pytree(path: str):
+    with open(path, 'rb') as f:
+        return pickle.load(f)

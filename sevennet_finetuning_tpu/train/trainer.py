@@ -1,0 +1,222 @@
+"""Trainer: jitted train/eval steps, Fisher estimation, rehearsal.
+
+JAX re-design of the reference trainer (reference:
+sevenn/train/trainer.py:15-222).  One compiled step fuses forward (with
+force/stress double-backprop), loss, gradients, the optax update and the
+metric accumulator update.  Data parallelism shards the batch over a
+device mesh; gradients and metric accumulators reduce with psum via jit's
+sharding propagation rather than framework-level DDP hooks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import keys as K
+from ..model.nequip import ModelSpec, apply_model, trainable_mask
+from .loss import LossSpec, build_loss_fn, loss_specs_from_config
+from .metrics import (
+    MetricSpec,
+    finalize,
+    init_accumulators,
+    metric_specs_from_config,
+    update_accumulators,
+)
+from .optim import build_optimizer, set_lr
+
+
+def _device_batch(batch: Dict) -> Dict:
+    return {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k not in (K.INFO, K.USER_LABEL)
+    }
+
+
+class Trainer:
+    """Owns params + optimizer state; steps are pure jitted functions."""
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        params,
+        config: Dict,
+        fisher=None,
+        opt_params=None,
+        mesh=None,
+    ):
+        self.spec = spec
+        self.params = params
+        self.config = config
+        self.mesh = mesh
+
+        self.loss_specs = loss_specs_from_config(config)
+        self.metric_specs = metric_specs_from_config(config)
+        self.loss_fn = build_loss_fn(
+            self.loss_specs,
+            use_data_weights=config.get(K.LOAD_DATASET_WITH_WEIGHTS, False),
+            fisher=fisher,
+            opt_params=opt_params,
+        )
+
+        mask = trainable_mask(spec, params)
+        self.tx, self.lr_controller = build_optimizer(config, mask)
+        self.opt_state = self.tx.init(params)
+
+        self._train_step = jax.jit(self._make_train_step())
+        self._eval_step = jax.jit(self._make_eval_step())
+        self._fisher_step = jax.jit(self._make_fisher_step())
+
+    # -- step builders ----------------------------------------------------
+    def _make_train_step(self):
+        spec, loss_fn, tx = self.spec, self.loss_fn, self.tx
+        mspecs = self.metric_specs
+
+        def step(params, opt_state, batch, acc):
+            def lfn(p):
+                out = apply_model(spec, p, batch)
+                total, terms = loss_fn(p, out)
+                return total, (out, terms)
+
+            (total, (out, terms)), grads = jax.value_and_grad(
+                lfn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            acc = update_accumulators(mspecs, acc, out, terms, total)
+            return params, opt_state, acc
+
+        return step
+
+    def _make_eval_step(self):
+        spec, loss_fn = self.spec, self.loss_fn
+        mspecs = self.metric_specs
+
+        def step(params, batch, acc):
+            out = apply_model(spec, params, batch)
+            total, terms = loss_fn(params, out)
+            acc = update_accumulators(mspecs, acc, out, terms, total)
+            return acc, out
+
+        return step
+
+    def _make_fisher_step(self):
+        spec, loss_fn = self.spec, self.loss_fn
+
+        def step(params, batch, fisher_acc, count, loss_thr):
+            def lfn(p):
+                out = apply_model(spec, p, batch)
+                total, _ = loss_fn(p, out)
+                return total
+
+            total, grads = jax.value_and_grad(lfn)(params)
+            take = jnp.where(loss_thr < 0, 1.0, (total < loss_thr) * 1.0)
+            fisher_acc = jax.tree_util.tree_map(
+                lambda f, g: f + take * g * g, fisher_acc, grads
+            )
+            return fisher_acc, count + take
+
+        return step
+
+    # -- epoch drivers ----------------------------------------------------
+    def run_one_epoch(
+        self,
+        loader: Iterable[Dict],
+        is_train: bool = False,
+    ) -> Dict[str, float]:
+        acc = init_accumulators(self.metric_specs)
+        for batch in loader:
+            batch = _device_batch(batch)
+            if is_train:
+                self.params, self.opt_state, acc = self._train_step(
+                    self.params, self.opt_state, batch, acc
+                )
+            else:
+                acc, _ = self._eval_step(self.params, batch, acc)
+        return finalize(self.metric_specs, jax.device_get(acc))
+
+    def run_one_epoch_rehearsal(
+        self,
+        loader: Iterable[Dict],
+        memloader,
+        is_train: bool = True,
+    ) -> Tuple[Dict[str, float], Dict[str, float]]:
+        """Interleaved replay: after every train-batch step, take one
+        optimizer step on the next memory batch (cycling iterator)
+        (reference: sevenn/train/trainer.py:157-222)."""
+        acc = init_accumulators(self.metric_specs)
+        mem_acc = init_accumulators(self.metric_specs)
+        mem_iter = iter(memloader)
+        for batch in loader:
+            batch = _device_batch(batch)
+            if is_train:
+                self.params, self.opt_state, acc = self._train_step(
+                    self.params, self.opt_state, batch, acc
+                )
+            else:
+                acc, _ = self._eval_step(self.params, batch, acc)
+
+            try:
+                mem_batch = next(mem_iter)
+            except StopIteration:
+                mem_iter = iter(memloader)
+                mem_batch = next(mem_iter)
+            mem_batch = _device_batch(mem_batch)
+            if is_train:
+                self.params, self.opt_state, mem_acc = self._train_step(
+                    self.params, self.opt_state, mem_batch, mem_acc
+                )
+            else:
+                mem_acc, _ = self._eval_step(self.params, mem_batch, mem_acc)
+        return (
+            finalize(self.metric_specs, jax.device_get(acc)),
+            finalize(self.metric_specs, jax.device_get(mem_acc)),
+        )
+
+    def compute_fisher_matrix(self, loader: Iterable[Dict],
+                              loss_thr: float = -1.0):
+        """Empirical Fisher: mean over samples of squared loss gradients,
+        skipping samples whose loss exceeds the threshold (reference:
+        sevenn/train/trainer.py:126-152).  Use batch size 1."""
+        fisher = jax.tree_util.tree_map(jnp.zeros_like, self.params)
+        count = jnp.zeros(())
+        thr = jnp.asarray(float(loss_thr))
+        for batch in loader:
+            fisher, count = self._fisher_step(
+                self.params, _device_batch(batch), fisher, count, thr
+            )
+        count_f = float(count)
+        if count_f > 0:
+            fisher = jax.tree_util.tree_map(lambda f: f / count_f, fisher)
+        opt_params = jax.tree_util.tree_map(lambda p: p.copy(), self.params)
+        return jax.device_get(fisher), jax.device_get(opt_params), int(count_f)
+
+    # -- scheduler / checkpoint ------------------------------------------
+    def scheduler_step(self, metric: Optional[float] = None):
+        self.lr_controller.step(metric)
+        self.opt_state = set_lr(self.opt_state, self.lr_controller.lr)
+
+    def get_lr(self) -> float:
+        return self.lr_controller.lr
+
+    def get_checkpoint_dict(self) -> Dict:
+        return {
+            'model_state_dict': jax.device_get(self.params),
+            'optimizer_state_dict': jax.device_get(self.opt_state),
+            'scheduler_state_dict': self.lr_controller.state_dict(),
+        }
+
+    def load_state_dicts(self, model_state, optimizer_state=None,
+                         scheduler_state=None):
+        self.params = jax.tree_util.tree_map(jnp.asarray, model_state)
+        if optimizer_state is not None:
+            self.opt_state = optimizer_state
+        if scheduler_state is not None:
+            self.lr_controller.load_state_dict(scheduler_state)
+            self.opt_state = set_lr(self.opt_state, self.lr_controller.lr)
