@@ -54,9 +54,11 @@ class Irrep:
     def is_scalar(self) -> bool:
         return self.l == 0 and self.p == 1
 
-    # e3nn sort order: for each l, p=(-1)^l first
+    # e3nn sort order: (l, p) with odd parity before even for every l
+    # (verified against the layouts of the reference's frozen TorchScript
+    # models: 0o sorts before 0e, 1o before 1e)
     def _key(self):
-        return (self.l, -self.p * (-1) ** self.l)
+        return (self.l, self.p)
 
     def __lt__(self, other):
         return self._key() < Irrep.parse(other)._key()

@@ -88,6 +88,10 @@ ACTIVATION_SCALAR: Final[str] = 'act_scalar'
 ACTIVATION_GATE: Final[str] = 'act_gate'
 CORRELATION: Final[str] = 'correlation'
 _NORMALIZE_SPH: Final[str] = '_normalize_sph'
+# current reference restricts the last interaction layer to even scalars
+# (reference: sevenn/model_build.py:303-352); older deployed artifacts
+# keep full irreps in the last layer and let the readout select scalars
+_RESTRICT_LAST_LAYER: Final[str] = '_restrict_last_layer'
 CHEMICAL_SPECIES: Final[str] = 'chemical_species'
 CHEMICAL_SPECIES_BY_ATOMIC_NUMBER: Final[str] = 'chemical_species_by_atomic_number'
 NUM_SPECIES: Final[str] = '_number_of_species'

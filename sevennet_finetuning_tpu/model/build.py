@@ -86,11 +86,12 @@ def build_model_spec(config: Dict) -> ModelSpec:
     irreps_x = (
         Irreps(f'{channel}x0e') if not irreps_manual else irreps_manual[0]
     )
+    restrict_last = config.get(K._RESTRICT_LAST_LAYER, True)
     blocks = []
     cur_lmax_node = lmax_node
     for t in range(num_layers):
         parity_mode = 'full'
-        if t == num_layers - 1:
+        if t == num_layers - 1 and restrict_last:
             cur_lmax_node = 0
             parity_mode = 'even'
         irreps_out_tp = tp_out_irreps(

@@ -148,7 +148,10 @@ def build_nequip_block(
 
     si1 = linear_spec(irreps_x, irreps_x, biases=biases)
     conv_tp = uvu_tp_spec(irreps_x, irreps_filter, irreps_out_tp)
-    si2 = linear_spec(conv_tp.irreps_out, irreps_gate_in, biases=biases)
+    # the reference builds this linear on the simplified TP output irreps
+    # (same flat layout; matching structure keeps weights importable)
+    si2 = linear_spec(conv_tp.irreps_out.simplify(), irreps_gate_in,
+                      biases=biases)
     return BlockSpec(
         t=t,
         irreps_x=irreps_x,
@@ -260,9 +263,19 @@ def energy_network(
     params: Params,
     data: Dict[str, jnp.ndarray],
     edge_vec: jnp.ndarray,
+    intermediates: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Edge vectors + graph -> atomic & total energies (pure, jit-able)."""
+    """Edge vectors + graph -> atomic & total energies (pure, jit-able).
+
+    Pass ``intermediates={}`` to capture per-stage node features (keys
+    like '0_convolution', '1_equivariant_gate'...) for layer-parity checks
+    against the reference.
+    """
     out = dict(data)
+
+    def cap(name, val):
+        if intermediates is not None:
+            intermediates[name] = val
     es = spec.edge
     n_node = data[K.POS].shape[0]
     n_graph = data[K.CELL].shape[0]
@@ -300,6 +313,7 @@ def energy_network(
                              biases=spec.use_bias_in_linear)
     x = apply_linear(embed_spec, _linear_w(params['onehot_to_feature_x']),
                      onehot)
+    cap('onehot_to_feature_x', x)
 
     # --- interaction blocks ---
     for blk in spec.blocks:
@@ -316,9 +330,12 @@ def energy_network(
             )
         else:
             sc = None
+        if sc is not None:
+            cap(f'{t}_self_connection_intro', sc)
 
         x = apply_linear(blk.si1, _linear_w(params[f'{t}_self_interaction_1']),
                          x)
+        cap(f'{t}_self_interaction_1', x)
 
         conv_p = params[f'{t}_convolution']
         n_w = len(blk.radial_hs) - 1
@@ -329,12 +346,15 @@ def energy_network(
         msg = apply_tp(blk.conv_tp, x[edge_src], edge_attr, w_edge)
         x = jax.ops.segment_sum(msg, edge_dst, num_segments=n_node)
         x = x / conv_p['denominator']
+        cap(f'{t}_convolution', x)
 
         x = apply_linear(blk.si2, _linear_w(params[f'{t}_self_interaction_2']),
                          x)
+        cap(f'{t}_self_interaction_2', x)
         if sc is not None:
             x = x + sc
         x = apply_gate(blk.gate, x)
+        cap(f'{t}_equivariant_gate', x)
 
     out[K.NODE_FEATURE] = x
 

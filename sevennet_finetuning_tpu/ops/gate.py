@@ -1,10 +1,13 @@
 """Equivariant gated nonlinearity (e3nn-Gate-compatible).
 
 Replaces the reference's gate wrapper (reference:
-sevenn/nn/equivariant_gate.py:13-61): the layer input is the concatenation
-scalars || gates || gated; scalars pass through parity-matched normalized
-activations, the l>0 'gated' part is multiplied elementwise by activated
-scalar gates (one gate channel per gated channel).
+sevenn/nn/equivariant_gate.py:13-61).  The layer input follows e3nn's
+convention: the concatenation scalars || gates || gated is SORTED by
+irrep (stable) and simplified -- that sorted layout is what upstream
+linears produce into -- and a static permutation regroups it back to
+(scalars, gates, gated) inside the gate.  Scalars pass through
+parity-matched normalized activations; the l>0 'gated' part is
+multiplied elementwise by activated scalar gates.
 """
 
 from __future__ import annotations
@@ -21,11 +24,12 @@ from .activations import get_activation
 
 @dataclass(frozen=True)
 class GateSpec:
-    irreps_in: Irreps          # scalars + gates + gated
+    irreps_in: Irreps          # sorted+simplified (scalars+gates+gated)
     irreps_out: Irreps         # scalars + gated
     irreps_scalars: Irreps
     irreps_gates: Irreps
     irreps_gated: Irreps
+    perm: Tuple[int, ...]      # sorted layout -> group layout indices
     act_scalars: Tuple[Callable, ...]   # one per scalar irrep entry
     act_gates: Tuple[Callable, ...]     # one per gate irrep entry
 
@@ -51,6 +55,20 @@ def gate_spec(
     gates_parity = 1 if Irrep(0, 1) in scalars else -1
     gates = Irreps([MulIrrep(mi.mul, Irrep(0, gates_parity)) for mi in gated])
 
+    # e3nn's _Sortcut: input layout is the stable irrep-sort of
+    # scalars+gates+gated; record where each group entry lands
+    group_entries = list(scalars) + list(gates) + list(gated)
+    cat = Irreps(group_entries)
+    sorted_irreps, inv, order = cat.sort()
+    # offsets of each sorted entry in the sorted (flat) layout
+    sorted_offsets = np.cumsum([0] + [mi.dim for mi in sorted_irreps])[:-1]
+    # for original entry e (group order), its slice in sorted layout
+    perm = []
+    for e_idx in range(len(group_entries)):
+        s_pos = inv[e_idx]
+        off = sorted_offsets[s_pos]
+        perm.extend(range(off, off + group_entries[e_idx].dim))
+
     act_scalars = tuple(
         get_activation(acts_s[mi.ir.p], normalized=True) for mi in scalars
     )
@@ -58,17 +76,22 @@ def gate_spec(
         get_activation(acts_g[mi.ir.p], normalized=True) for mi in gates
     )
     return GateSpec(
-        irreps_in=scalars + gates + gated,
+        irreps_in=sorted_irreps.simplify(),
         irreps_out=scalars + gated,
         irreps_scalars=scalars,
         irreps_gates=gates,
         irreps_gated=gated,
+        perm=tuple(perm),
         act_scalars=act_scalars,
         act_gates=act_gates,
     )
 
 
 def apply_gate(spec: GateSpec, x: jnp.ndarray) -> jnp.ndarray:
+    # regroup the sorted input layout into scalars || gates || gated
+    perm = np.asarray(spec.perm)
+    if not np.array_equal(perm, np.arange(len(perm))):
+        x = jnp.take(x, jnp.asarray(perm), axis=-1)
     d_s = spec.irreps_scalars.dim
     d_g = spec.irreps_gates.dim
     scalars = x[..., :d_s]

