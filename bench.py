@@ -1,0 +1,152 @@
+"""Benchmark: training-step throughput (edges/s/chip) on the fine-tune
+workload.
+
+Workload mirrors the reference's reEWC fine-tune setting (reference:
+example_inputs/fine_tuning/FT_w_reEWC/input_full.yaml): SevenNet-0
+architecture (843k params, lmax 2, 5 layers, cutoff 5.0), 96-atom HfO2
+structures, batch 8, full energy/force/stress loss, adam update.
+
+Baseline: the reference logs ~40-45 s/epoch for 900 train + 900 replay
+structures at batch 8 on one CUDA GPU (reference:
+example_inputs/fine_tuning/FT_w_reEWC/log.sevenn:291-381) -> ~226
+optimizer steps / 42 s = 0.186 s/step.  vs_baseline is measured
+edges/s divided by the reference's edges/s at that rate for the same
+batch.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sevennet_finetuning_tpu import keys as K
+    from sevennet_finetuning_tpu.compat.known_models import (
+        SEVENNET_0_11JULY2024,
+    )
+    from sevennet_finetuning_tpu.data.elements import type_map_from_species
+    from sevennet_finetuning_tpu.data.vasp import read_outcar
+    from sevennet_finetuning_tpu.model.build import build_model_spec
+    from sevennet_finetuning_tpu.model.graph import (
+        bucket_capacity,
+        collate,
+        structure_to_graph,
+    )
+    from sevennet_finetuning_tpu.model.nequip import (
+        init_params,
+        trainable_mask,
+    )
+    from sevennet_finetuning_tpu.train.loss import (
+        build_loss_fn,
+        loss_specs_from_config,
+    )
+    from sevennet_finetuning_tpu.train.optim import build_optimizer
+
+    BATCH = 8
+    CUTOFF = 5.0
+
+    # fine-tune-like data: the reference's HfO2 example structures
+    structs = []
+    for lbl in (1, 2):
+        for i in range(1, 6):
+            idx = i if lbl == 1 else i + 5
+            structs.extend(
+                read_outcar(
+                    f'/root/reference/example_inputs/data/label_{lbl}'
+                    f'/OUTCAR_{idx}'
+                )
+            )
+    tm = type_map_from_species({sp for s in structs for sp in s.species})
+
+    cfg = dict(SEVENNET_0_11JULY2024)
+    # species-wise rescale for just the bench species
+    cfg.update({
+        K.NUM_SPECIES: len(tm),
+        K.TYPE_MAP: tm,
+        K.CUTOFF: CUTOFF,
+        K.SHIFT: [-5.0] * len(tm),
+        K.SCALE: [1.0] * len(tm),
+        K.CONV_DENOMINATOR: 36.0,
+        K.IS_TRAIN_STRESS: True,
+        K.OPTIMIZER: 'adam',
+        K.OPTIM_PARAM: {'lr': 1e-4},
+        K.LOSS: 'huber',
+        K.LOSS_PARAM: {'delta': 0.01},
+        K.FORCE_WEIGHT: 1.0,
+        K.STRESS_WEIGHT: 0.01,
+    })
+    spec = build_model_spec(cfg)
+    params = init_params(spec, seed=0)
+
+    graphs = [structure_to_graph(s, CUTOFF, tm) for s in structs]
+    reps = (BATCH + len(graphs) - 1) // len(graphs)
+    pool = (graphs * reps)[:BATCH]
+    n_edges_real = sum(g[K.EDGE_IDX].shape[1] for g in pool)
+    n_node = bucket_capacity(sum(len(g[K.POS]) for g in pool))
+    n_edge = bucket_capacity(n_edges_real)
+    batch = collate(pool, n_node=n_node, n_edge=n_edge, n_graph=BATCH)
+    batch = {
+        k: jnp.asarray(v) for k, v in batch.items()
+        if k not in (K.INFO, K.USER_LABEL)
+    }
+
+    loss_fn = build_loss_fn(loss_specs_from_config(cfg))
+    tx, _ = build_optimizer(cfg, trainable_mask(spec, params))
+    opt_state = tx.init(params)
+
+    from sevennet_finetuning_tpu.model.nequip import apply_model
+    import optax
+
+    @jax.jit
+    def train_step(p, o, b):
+        def lfn(pp):
+            out = apply_model(spec, pp, b)
+            total, _ = loss_fn(pp, out)
+            return total
+
+        total, grads = jax.value_and_grad(lfn)(p)
+        updates, o = tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, total
+
+    # warmup / compile
+    t0 = time.time()
+    params, opt_state, total = jax.block_until_ready(
+        train_step(params, opt_state, batch)
+    )
+    compile_s = time.time() - t0
+
+    # timed steps
+    N = 20
+    t0 = time.time()
+    for _ in range(N):
+        params, opt_state, total = train_step(params, opt_state, batch)
+    jax.block_until_ready(total)
+    dt = (time.time() - t0) / N
+
+    edges_per_s = n_edges_real / dt
+    ref_edges_per_s = n_edges_real / 0.186  # reference GPU step time
+    print(json.dumps({
+        'metric': 'edges_per_s_per_chip_finetune_trainstep',
+        'value': round(edges_per_s, 1),
+        'unit': 'edges/s/chip',
+        'vs_baseline': round(edges_per_s / ref_edges_per_s, 4),
+        'detail': {
+            'device': str(jax.devices()[0]),
+            'step_ms': round(dt * 1e3, 2),
+            'compile_s': round(compile_s, 1),
+            'edges_per_batch': int(n_edges_real),
+            'batch': BATCH,
+            'loss': float(total),
+        },
+    }))
+
+
+if __name__ == '__main__':
+    main()

