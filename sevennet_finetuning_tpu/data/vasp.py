@@ -56,6 +56,28 @@ class Structure:
         return float(abs(np.linalg.det(self.cell)))
 
 
+def replicate(s: Structure, nx: int, ny: int, nz: int) -> Structure:
+    """Periodic supercell (like LAMMPS 'replicate', reference:
+    example_inputs/md_serial_example/in.lmp)."""
+    reps = []
+    shifts = []
+    for ix in range(nx):
+        for iy in range(ny):
+            for iz in range(nz):
+                shifts.append(np.array([ix, iy, iz], float) @ s.cell)
+    pos = np.concatenate([s.pos + sh for sh in shifts])
+    species = list(s.species) * len(shifts)
+    cell = s.cell * np.array([[nx], [ny], [nz]])
+    forces = (
+        None if s.forces is None
+        else np.concatenate([s.forces] * len(shifts))
+    )
+    energy = None if s.energy is None else s.energy * len(shifts)
+    return Structure(species=species, pos=pos, cell=cell, pbc=s.pbc,
+                     energy=energy, forces=forces, stress=s.stress,
+                     info=dict(s.info))
+
+
 def read_outcar(path: str) -> List[Structure]:
     """All ionic steps of an OUTCAR as labeled Structures."""
     with open(path) as f:

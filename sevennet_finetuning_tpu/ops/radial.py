@@ -41,12 +41,14 @@ def bessel_basis(
 
 def poly_cutoff(r: jnp.ndarray, cutoff: float, p: int = 6) -> jnp.ndarray:
     """Smooth polynomial envelope, 1 at r=0 and 0 with p-1 zero derivatives
-    at r=r_c (arXiv:2003.03123)."""
+    at r=r_c (arXiv:2003.03123).  Clamped to exactly 0 beyond r_c so
+    skin-padded neighbor lists (MD) stay correct."""
     x = r / cutoff
     c0 = (p + 1.0) * (p + 2.0) / 2.0
     c1 = p * (p + 2.0)
     c2 = p * (p + 1.0) / 2.0
-    return 1.0 - c0 * x**p + c1 * x ** (p + 1) - c2 * x ** (p + 2)
+    val = 1.0 - c0 * x**p + c1 * x ** (p + 1) - c2 * x ** (p + 2)
+    return jnp.where(x < 1.0, val, 0.0)
 
 
 def xplor_cutoff(r: jnp.ndarray, cutoff: float, cutoff_on: float) -> jnp.ndarray:
@@ -60,4 +62,5 @@ def xplor_cutoff(r: jnp.ndarray, cutoff: float, cutoff_on: float) -> jnp.ndarray
         * (cut_sq + 2.0 * r_sq - 3.0 * on_sq)
         / (cut_sq - on_sq) ** 3
     )
+    sw = jnp.where(r < cutoff, sw, 0.0)
     return jnp.where(r < cutoff_on, 1.0, sw)
