@@ -19,6 +19,7 @@ from .nequip import (
     EdgeEmbedSpec,
     ModelSpec,
     ReadoutSpec,
+    build_mace_block,
     build_nequip_block,
 )
 from ..ops.linear import linear_spec
@@ -38,10 +39,9 @@ def build_model_spec(config: Dict) -> ModelSpec:
     cutoff = float(config.get(K.CUTOFF, 4.5))
     biases = config.get(K.USE_BIAS_IN_LINEAR, False)
     interaction = config.get(K.INTERACTION_TYPE, 'nequip')
-    if interaction != 'nequip':
+    if interaction not in ('nequip', 'mace'):
         raise NotImplementedError(
-            f'interaction type {interaction!r} not yet available '
-            '(nequip only for now)'
+            f'interaction type {interaction!r} not yet available'
         )
 
     rb = config.get(K.RADIAL_BASIS, {K.RADIAL_BASIS_NAME: 'bessel'})
@@ -90,40 +90,79 @@ def build_model_spec(config: Dict) -> ModelSpec:
     blocks = []
     cur_lmax_node = lmax_node
     for t in range(num_layers):
-        parity_mode = 'full'
-        if t == num_layers - 1 and restrict_last:
-            cur_lmax_node = 0
-            parity_mode = 'even'
-        irreps_out_tp = tp_out_irreps(
-            irreps_x, irreps_filter, cur_lmax_node, parity_mode
-        )
-        irreps_out = (
-            tp_out_irreps(
-                irreps_x, irreps_filter, cur_lmax_node, parity_mode,
-                fix_multiplicity=channel,
+        if interaction == 'mace':
+            # reference: sevenn/model_build.py:316-325 -- conv output
+            # keeps sph parity up to lmax_edge; last-layer output scalars
+            parity_mode = 'sph'
+            irreps_out_tp = tp_out_irreps(
+                irreps_x, irreps_filter, lmax_edge, 'sph'
             )
-            if not irreps_manual
-            else irreps_manual[t + 1]
-        )
-        blocks.append(
-            build_nequip_block(
-                t=t,
-                irreps_x=irreps_x,
-                irreps_filter=irreps_filter,
-                irreps_out_tp=irreps_out_tp,
-                irreps_out=irreps_out,
-                num_species=num_species,
-                radial_hidden=radial_hidden,
-                bessel_num=bessel_num,
-                act_radial=act_radial,
-                act_scalar=act_scalar,
-                act_gate=act_gate,
-                self_connection=self_connection,
-                denominator=conv_denominator[t],
-                train_denominator=config.get(K.TRAIN_DENOMINATOR, False),
-                biases=biases,
+            if t == num_layers - 1 and restrict_last:
+                cur_lmax_node = 0
+                parity_mode = 'even'
+            irreps_out = (
+                tp_out_irreps(
+                    irreps_x, irreps_filter, cur_lmax_node, parity_mode,
+                    fix_multiplicity=channel,
+                )
+                if not irreps_manual
+                else irreps_manual[t + 1]
             )
-        )
+            blocks.append(
+                build_mace_block(
+                    t=t,
+                    irreps_x=irreps_x,
+                    irreps_filter=irreps_filter,
+                    irreps_out_tp=irreps_out_tp,
+                    irreps_out=irreps_out,
+                    correlation=config.get(K.CORRELATION, 3),
+                    num_species=num_species,
+                    radial_hidden=radial_hidden,
+                    bessel_num=bessel_num,
+                    act_radial=act_radial,
+                    self_connection=self_connection,
+                    denominator=conv_denominator[t],
+                    train_denominator=config.get(K.TRAIN_DENOMINATOR,
+                                                 False),
+                    biases=biases,
+                )
+            )
+        else:
+            parity_mode = 'full'
+            if t == num_layers - 1 and restrict_last:
+                cur_lmax_node = 0
+                parity_mode = 'even'
+            irreps_out_tp = tp_out_irreps(
+                irreps_x, irreps_filter, cur_lmax_node, parity_mode
+            )
+            irreps_out = (
+                tp_out_irreps(
+                    irreps_x, irreps_filter, cur_lmax_node, parity_mode,
+                    fix_multiplicity=channel,
+                )
+                if not irreps_manual
+                else irreps_manual[t + 1]
+            )
+            blocks.append(
+                build_nequip_block(
+                    t=t,
+                    irreps_x=irreps_x,
+                    irreps_filter=irreps_filter,
+                    irreps_out_tp=irreps_out_tp,
+                    irreps_out=irreps_out,
+                    num_species=num_species,
+                    radial_hidden=radial_hidden,
+                    bessel_num=bessel_num,
+                    act_radial=act_radial,
+                    act_scalar=act_scalar,
+                    act_gate=act_gate,
+                    self_connection=self_connection,
+                    denominator=conv_denominator[t],
+                    train_denominator=config.get(K.TRAIN_DENOMINATOR,
+                                                 False),
+                    biases=biases,
+                )
+            )
         irreps_x = blocks[-1].irreps_out
 
     if config.get(K.READOUT_AS_FCN, False):

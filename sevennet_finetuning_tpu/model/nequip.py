@@ -79,7 +79,10 @@ class BlockSpec:
     denominator: float
     train_denominator: bool
     si2: LinearSpec
-    gate: GateSpec
+    gate: Optional[GateSpec]               # None for MACE blocks
+    block_type: str = 'nequip'             # 'nequip' | 'mace'
+    pb_spec: object = None                 # SymContractionSpec (mace)
+    si3: Optional[LinearSpec] = None       # (mace)
 
 
 @dataclass(frozen=True)
@@ -170,6 +173,76 @@ def build_nequip_block(
     )
 
 
+def build_mace_block(
+    t: int,
+    irreps_x: Irreps,
+    irreps_filter: Irreps,
+    irreps_out_tp: Irreps,
+    irreps_out: Irreps,
+    correlation: int,
+    num_species: int,
+    radial_hidden: Tuple[int, ...],
+    bessel_num: int,
+    act_radial: str,
+    self_connection: str,
+    denominator: float,
+    train_denominator: bool,
+    biases: bool,
+) -> BlockSpec:
+    """MACE interaction block: conv -> si2 to uniform multiplicity ->
+    symmetric contraction (product basis) -> si3; no gate (reference:
+    sevenn/nn/interaction_blocks.py:89-162)."""
+    from ..ops.symmetric_contraction import sym_contraction_spec
+
+    irreps_out = Irreps(irreps_out)
+    assert all(mi.ir.p == (-1) ** mi.ir.l for mi in irreps_out), (
+        'mace output parity must be spherical-harmonics-like'
+    )
+    feature_mul = irreps_out[0].mul
+    assert all(mi.mul == feature_mul for mi in irreps_out)
+    conv_out_simpl = None
+
+    node_attr_irreps = Irreps(f'{num_species}x0e')
+    if self_connection == 'nequip':
+        sc = fctp_spec(irreps_x, node_attr_irreps, irreps_out)
+    elif self_connection == 'linear':
+        sc = linear_spec(irreps_x, irreps_out, biases=False)
+    else:
+        sc = None
+
+    si1 = linear_spec(irreps_x, irreps_x, biases=biases)
+    conv_tp = uvu_tp_spec(irreps_x, irreps_filter, irreps_out_tp)
+    conv_out_simpl = conv_tp.irreps_out.simplify()
+    # uniform multiplicity for the product basis (reference:
+    # interaction_blocks.py:113-118)
+    irreps_si2_out = Irreps(
+        [(feature_mul, mi.ir) for mi in irreps_out_tp]
+    )
+    si2 = linear_spec(conv_out_simpl, irreps_si2_out, biases=biases)
+    pb = sym_contraction_spec(irreps_si2_out, irreps_out, correlation,
+                              num_species)
+    si3 = linear_spec(irreps_out, irreps_out, biases=biases)
+    return BlockSpec(
+        t=t,
+        irreps_x=irreps_x,
+        irreps_out=irreps_out,
+        self_connection=self_connection,
+        sc_spec=sc,
+        si1=si1,
+        conv_tp=conv_tp,
+        radial_hs=(bessel_num,) + tuple(radial_hidden)
+        + (conv_tp.weight_numel,),
+        act_radial=act_radial,
+        denominator=denominator,
+        train_denominator=train_denominator,
+        si2=si2,
+        gate=None,
+        block_type='mace',
+        pb_spec=pb,
+        si3=si3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # parameter init
 # ---------------------------------------------------------------------------
@@ -203,6 +276,13 @@ def init_params(spec: ModelSpec, seed: int = 0) -> Params:
         conv['denominator'] = np.array([blk.denominator], np.float32)
         p[f'{t}_convolution'] = conv
         p[f'{t}_self_interaction_2'] = _linear_params(blk.si2, rng)
+        if blk.block_type == 'mace':
+            from ..ops.symmetric_contraction import init_sym_contraction
+
+            p[f'{t}_equivariant_product_basis'] = init_sym_contraction(
+                blk.pb_spec, rng
+            )
+            p[f'{t}_self_interaction_3'] = _linear_params(blk.si3, rng)
 
     if spec.readout.as_fcn:
         p['readout_FCN'] = {
@@ -256,6 +336,116 @@ def compute_edge_vec(data: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         pos[idx[1]] - pos[idx[0]]
         + jnp.einsum('ei,eij->ej', data[K.CELL_SHIFT], cell_of_edge)
     )
+
+
+def run_blocks(
+    spec: ModelSpec,
+    params: Params,
+    x: jnp.ndarray,
+    onehot: jnp.ndarray,
+    emb: jnp.ndarray,
+    edge_attr: jnp.ndarray,
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    n_node: int,
+    cap=None,
+    exchange_fn=None,
+) -> jnp.ndarray:
+    """All interaction blocks (NequIP or MACE).  ``exchange_fn``, when
+    given, maps local features to local+ghost rows before the gather
+    (the halo-parallel path injects per-layer ppermute refreshes here)."""
+    if cap is None:
+        def cap(name, val):
+            return None
+
+    for blk in spec.blocks:
+        t = blk.t
+        if blk.self_connection == 'nequip':
+            sc = apply_tp(
+                blk.sc_spec, x, onehot,
+                _linear_w(params[f'{t}_self_connection_intro']),
+            )
+        elif blk.self_connection == 'linear':
+            sc = apply_linear(
+                blk.sc_spec,
+                _linear_w(params[f'{t}_self_connection_intro']), x,
+            )
+        else:
+            sc = None
+        if sc is not None:
+            cap(f'{t}_self_connection_intro', sc)
+
+        x = apply_linear(blk.si1,
+                         _linear_w(params[f'{t}_self_interaction_1']), x)
+        cap(f'{t}_self_interaction_1', x)
+
+        conv_p = params[f'{t}_convolution']
+        n_w = len(blk.radial_hs) - 1
+        w_edge = mlp_apply(
+            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+            emb, blk.act_radial,
+        )
+        x_all = x if exchange_fn is None else exchange_fn(x)
+        msg = apply_tp(blk.conv_tp, x_all[edge_src], edge_attr, w_edge)
+        x = jax.ops.segment_sum(msg, edge_dst, num_segments=n_node)
+        x = x / conv_p['denominator']
+        cap(f'{t}_convolution', x)
+
+        x = apply_linear(blk.si2,
+                         _linear_w(params[f'{t}_self_interaction_2']), x)
+        cap(f'{t}_self_interaction_2', x)
+
+        if blk.block_type == 'mace':
+            from ..ops.symmetric_contraction import apply_sym_contraction
+
+            x = apply_sym_contraction(
+                blk.pb_spec, params[f'{t}_equivariant_product_basis'],
+                x, onehot,
+            )
+            cap(f'{t}_equivariant_product_basis', x)
+            x = apply_linear(
+                blk.si3, _linear_w(params[f'{t}_self_interaction_3']), x
+            )
+            cap(f'{t}_self_interaction_3', x)
+            if sc is not None:
+                x = x + sc
+        else:
+            if sc is not None:
+                x = x + sc
+            x = apply_gate(blk.gate, x)
+            cap(f'{t}_equivariant_gate', x)
+    return x
+
+
+def readout_and_rescale(
+    spec: ModelSpec,
+    params: Params,
+    x: jnp.ndarray,
+    atom_type: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Node features -> (scaled_atomic_energy, atomic_energy)."""
+    if spec.readout.as_fcn:
+        n_w = len(spec.readout.fcn_hs) - 1
+        atomic_e = mlp_apply(
+            [params['readout_FCN'][f'w{i}'] for i in range(n_w)],
+            x, spec.readout.fcn_act,
+        )
+    else:
+        h = apply_linear(spec.readout.lin1,
+                         _linear_w(params['reduce_input_to_hidden']), x)
+        atomic_e = apply_linear(
+            spec.readout.lin2,
+            _linear_w(params['reduce_hidden_to_energy']), h,
+        )
+    atomic_e = atomic_e[..., 0]
+    scaled = atomic_e
+    rp = params['rescale_atomic_energy']
+    if rp['scale'].shape[0] > 1:
+        atomic_e = atomic_e * rp['scale'][atom_type] \
+            + rp['shift'][atom_type]
+    else:
+        atomic_e = atomic_e * rp['scale'][0] + rp['shift'][0]
+    return scaled, atomic_e
 
 
 def energy_network(
@@ -316,72 +506,15 @@ def energy_network(
     cap('onehot_to_feature_x', x)
 
     # --- interaction blocks ---
-    for blk in spec.blocks:
-        t = blk.t
-        if blk.self_connection == 'nequip':
-            sc = apply_tp(
-                blk.sc_spec, x, onehot,
-                _linear_w(params[f'{t}_self_connection_intro']),
-            )
-        elif blk.self_connection == 'linear':
-            sc = apply_linear(
-                blk.sc_spec,
-                _linear_w(params[f'{t}_self_connection_intro']), x,
-            )
-        else:
-            sc = None
-        if sc is not None:
-            cap(f'{t}_self_connection_intro', sc)
-
-        x = apply_linear(blk.si1, _linear_w(params[f'{t}_self_interaction_1']),
-                         x)
-        cap(f'{t}_self_interaction_1', x)
-
-        conv_p = params[f'{t}_convolution']
-        n_w = len(blk.radial_hs) - 1
-        w_edge = mlp_apply(
-            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-            emb, blk.act_radial,
-        )
-        msg = apply_tp(blk.conv_tp, x[edge_src], edge_attr, w_edge)
-        x = jax.ops.segment_sum(msg, edge_dst, num_segments=n_node)
-        x = x / conv_p['denominator']
-        cap(f'{t}_convolution', x)
-
-        x = apply_linear(blk.si2, _linear_w(params[f'{t}_self_interaction_2']),
-                         x)
-        cap(f'{t}_self_interaction_2', x)
-        if sc is not None:
-            x = x + sc
-        x = apply_gate(blk.gate, x)
-        cap(f'{t}_equivariant_gate', x)
+    x = run_blocks(spec, params, x, onehot, emb, edge_attr, edge_src,
+                   edge_dst, n_node, cap=cap)
 
     out[K.NODE_FEATURE] = x
 
-    # --- readout ---
-    if spec.readout.as_fcn:
-        n_w = len(spec.readout.fcn_hs) - 1
-        atomic_e = mlp_apply(
-            [params['readout_FCN'][f'w{i}'] for i in range(n_w)],
-            x, spec.readout.fcn_act,
-        )
-    else:
-        h = apply_linear(spec.readout.lin1,
-                         _linear_w(params['reduce_input_to_hidden']), x)
-        atomic_e = apply_linear(spec.readout.lin2,
-                                _linear_w(params['reduce_hidden_to_energy']),
-                                h)
-    atomic_e = atomic_e[..., 0]
-    out[K.SCALED_ATOMIC_ENERGY] = atomic_e
-
-    # --- rescale (scalar or species-wise) + masked reduce ---
-    rp = params['rescale_atomic_energy']
-    if rp['scale'].shape[0] > 1:
-        scale = rp['scale'][data[K.ATOM_TYPE]]
-        shift = rp['shift'][data[K.ATOM_TYPE]]
-    else:
-        scale, shift = rp['scale'][0], rp['shift'][0]
-    atomic_e = atomic_e * scale + shift
+    # --- readout + rescale + masked reduce ---
+    scaled, atomic_e = readout_and_rescale(spec, params, x,
+                                           data[K.ATOM_TYPE])
+    out[K.SCALED_ATOMIC_ENERGY] = scaled
     atomic_e = atomic_e * data[K.NODE_MASK]
     out[K.ATOMIC_ENERGY] = atomic_e
     out[K.PRED_TOTAL_ENERGY] = jax.ops.segment_sum(

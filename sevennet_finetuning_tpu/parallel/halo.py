@@ -226,6 +226,8 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
     def network_energy(edge_vec, atom_type, node_mask, dst, src,
                        edge_mask, send_r, send_r_m, send_l, send_l_m):
         """Edge vectors -> psum'd total energy (per-layer halo inside)."""
+        from ..model.nequip import readout_and_rescale, run_blocks
+
         r = safe_norm(edge_vec)
         basis = bessel_basis(
             r, params['edge_embedding']['bessel_coeffs'], es.cutoff
@@ -240,66 +242,17 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
                                 dtype=edge_vec.dtype)
         x = apply_linear(embed_spec,
                          _linear_w(params['onehot_to_feature_x']), onehot)
-        for blk in spec.blocks:
-            t = blk.t
-            if blk.self_connection == 'nequip':
-                sc = apply_tp(
-                    blk.sc_spec, x, onehot,
-                    _linear_w(params[f'{t}_self_connection_intro']),
-                )
-            elif blk.self_connection == 'linear':
-                sc = apply_linear(
-                    blk.sc_spec,
-                    _linear_w(params[f'{t}_self_connection_intro']), x,
-                )
-            else:
-                sc = None
-            x = apply_linear(
-                blk.si1, _linear_w(params[f'{t}_self_interaction_1']), x
-            )
-            # per-layer ghost-feature refresh (reference: forward_comm
-            # between conv segments)
-            ghosts = _exchange(x, send_r, send_r_m, send_l, send_l_m,
-                               n_dev)
-            x_all = jnp.concatenate([x, ghosts], axis=0)
-            conv_p = params[f'{t}_convolution']
-            n_w = len(blk.radial_hs) - 1
-            w_edge = mlp_apply(
-                [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-                emb, blk.act_radial,
-            )
-            msg = apply_tp(blk.conv_tp, x_all[src], edge_attr, w_edge)
-            x = jax.ops.segment_sum(
-                msg, dst, num_segments=plan.n_local
-            ) / conv_p['denominator']
-            x = apply_linear(
-                blk.si2, _linear_w(params[f'{t}_self_interaction_2']), x
-            )
-            if sc is not None:
-                x = x + sc
-            x = apply_gate(blk.gate, x)
 
-        if spec.readout.as_fcn:
-            n_w = len(spec.readout.fcn_hs) - 1
-            atomic_e = mlp_apply(
-                [params['readout_FCN'][f'w{i}'] for i in range(n_w)],
-                x, spec.readout.fcn_act,
-            )
-        else:
-            h = apply_linear(spec.readout.lin1,
-                             _linear_w(params['reduce_input_to_hidden']),
-                             x)
-            atomic_e = apply_linear(
-                spec.readout.lin2,
-                _linear_w(params['reduce_hidden_to_energy']), h,
-            )
-        atomic_e = atomic_e[..., 0]
-        rp = params['rescale_atomic_energy']
-        if rp['scale'].shape[0] > 1:
-            atomic_e = atomic_e * rp['scale'][atom_type] \
-                + rp['shift'][atom_type]
-        else:
-            atomic_e = atomic_e * rp['scale'][0] + rp['shift'][0]
+        def exchange_fn(x_loc):
+            # per-layer ghost refresh (reference: forward_comm between
+            # conv segments)
+            ghosts = _exchange(x_loc, send_r, send_r_m, send_l, send_l_m,
+                               n_dev)
+            return jnp.concatenate([x_loc, ghosts], axis=0)
+
+        x = run_blocks(spec, params, x, onehot, emb, edge_attr, src, dst,
+                       plan.n_local, exchange_fn=exchange_fn)
+        _, atomic_e = readout_and_rescale(spec, params, x, atom_type)
         return lax.psum(jnp.sum(atomic_e * node_mask), SP_AXIS)
 
     def shard_fn(pos, atom_type, node_mask, edge_idx, edge_shift,
@@ -360,7 +313,10 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
         stress = -lax.psum(voigt, SP_AXIS) / plan.volume
         return energy[None], forces[None], stress[None]
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     sharded = P(SP_AXIS)
     fn = shard_map(

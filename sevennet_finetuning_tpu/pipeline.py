@@ -33,9 +33,14 @@ from .train.trainer import Trainer
 
 def load_structures(config: Dict, paths_key: str = K.LOAD_DATASET
                     ) -> List[Structure]:
-    """Load labeled structures per the data config."""
+    """Load labeled structures per the data config (paths may glob)."""
+    import glob as _glob
+
     fmt = config.get(K.DATA_FORMAT, 'structure_list')
-    paths = config.get(paths_key) or []
+    paths: List[str] = []
+    for p in config.get(paths_key) or []:
+        hits = sorted(_glob.glob(p))
+        paths.extend(hits if hits else [p])
     out: List[Structure] = []
     for path in paths:
         if fmt == 'structure_list' or path.endswith('structure_list'):
@@ -44,12 +49,37 @@ def load_structures(config: Dict, paths_key: str = K.LOAD_DATASET
                     s.info['label'] = label
                 out.extend(structs)
         elif 'OUTCAR' in os.path.basename(path):
-            out.extend(read_outcar(path))
+            structs = read_outcar(path)
+            for s in structs:
+                s.info['label'] = os.path.abspath(path)
+            out.extend(structs)
         else:
             raise ValueError(
                 f'unsupported data file (ase not available): {path}'
             )
     return out
+
+
+def parse_dataset_weights(config: Dict) -> Optional[Dict]:
+    """'load_dataset_with_weights': [[path, e_w, f_w, s_w], ...] ->
+    {abspath: {weight_key: w}} and fills LOAD_DATASET (reference:
+    sevenn/parse_input.py:180-202)."""
+    spec = config.get(K.LOAD_DATASET_WITH_WEIGHTS)
+    if not spec:
+        return None
+    worder = (K.PER_ATOM_ENERGY, K.FORCE, K.STRESS)
+    parsed = {}
+    config[K.LOAD_DATASET] = []
+    for entry in spec:
+        if len(entry) != 4:
+            raise ValueError(
+                'each load_dataset_with_weights entry must be '
+                '(path, energy_w, force_w, stress_w)'
+            )
+        path = os.path.abspath(entry[0])
+        config[K.LOAD_DATASET].append(path)
+        parsed[path] = {wk: float(w) for wk, w in zip(worder, entry[1:])}
+    return parsed
 
 
 def resolve_statistics(
@@ -175,6 +205,9 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
 
     # -- dataset ----------------------------------------------------------
     logger.timer_start('dataset')
+    data_weights = parse_dataset_weights(config)
+    if data_weights is not None:
+        config[K.LOAD_DATASET_WITH_WEIGHTS] = True  # enables weighted loss
     structures = load_structures(config)
     if not cont.get(K.CHECKPOINT):
         setup_species(config, structures)
@@ -231,8 +264,17 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
     logger.writeline(f'# model weights: {n_par}')
 
     if cp_blob is not None:
-        if not cont.get(K.RESET_OPTIMIZER):
-            pass  # optax state restore is shape-checked; skipped on reset
+        if not cont.get(K.RESET_OPTIMIZER) and cp_blob.get(
+            'optimizer_state_dict'
+        ) is not None:
+            try:
+                import jax
+
+                trainer.opt_state = jax.tree_util.tree_map(
+                    np.asarray, cp_blob['optimizer_state_dict']
+                )
+            except Exception as e:  # shape/structure drift: warn + reinit
+                logger.writeline(f'optimizer state not restored: {e}')
         if not cont.get(K.RESET_SCHEDULER) and cp_blob.get(
             'scheduler_state_dict'
         ):
@@ -259,8 +301,8 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
     batch_size = config.get(K.BATCH_SIZE, 6)
     train_loader = Loader(train_set, batch_size,
                           shuffle=config.get(K.TRAIN_SHUFFLE, True),
-                          seed=seed)
-    valid_loader = Loader(valid_set, batch_size)
+                          seed=seed, data_weights=data_weights)
+    valid_loader = Loader(valid_set, batch_size, data_weights=data_weights)
 
     mem_loader = None
     if config.get(K.REHEARSAL) and config.get(K.LOAD_MEMORY):
@@ -360,12 +402,14 @@ def run_epochs(
             save_checkpoint(
                 os.path.join(working_dir, 'checkpoint_best.pth'),
                 ckpt['model_state_dict'], config, epoch,
+                optimizer_state=ckpt['optimizer_state_dict'],
                 scheduler_state=ckpt['scheduler_state_dict'],
             )
         if per_epoch and epoch % per_epoch == 0:
             save_checkpoint(
                 os.path.join(working_dir, f'checkpoint_{epoch}.pth'),
                 ckpt['model_state_dict'], config, epoch,
+                optimizer_state=ckpt['optimizer_state_dict'],
                 scheduler_state=ckpt['scheduler_state_dict'],
             )
 

@@ -42,8 +42,10 @@ ERROR_TYPES = {
 class MetricSpec:
     key: str            # display key, e.g. 'Energy_RMSE'
     err_type: str       # ERROR_TYPES key
-    metric: str         # 'RMSE' | 'ComponentRMSE' | 'MAE' | 'VectorMAE'
+    metric: str         # 'RMSE'|'ComponentRMSE'|'MAE'|'VectorMAE'|'Loss'
     unit: Optional[str]
+    criterion: str = 'mse'          # for metric == 'Loss'
+    criterion_params: tuple = ()
 
     @property
     def label(self) -> str:
@@ -59,6 +61,8 @@ def metric_specs_from_config(config) -> Tuple[MetricSpec, ...]:
          ['TotalLoss', 'None']],
     )
     is_stress = config.get(K.IS_TRAIN_STRESS, True)
+    crit = config.get(K.LOSS, 'mse')
+    crit_p = tuple(sorted((config.get(K.LOSS_PARAM) or {}).items()))
     out = []
     for err_type, metric in records:
         if not is_stress and 'Stress' in err_type:
@@ -69,7 +73,9 @@ def metric_specs_from_config(config) -> Tuple[MetricSpec, ...]:
                 key=f'{err_type}_{metric}',
                 err_type=err_type,
                 metric=metric,
-                unit=info.get('unit'),
+                unit=None if metric == 'Loss' else info.get('unit'),
+                criterion=crit,
+                criterion_params=crit_p,
             )
         )
     return tuple(out)
@@ -143,6 +149,14 @@ def update_accumulators(
         elif spec.metric == 'MAE':
             acc[f'{spec.key}_sum'] = (
                 acc[f'{spec.key}_sum'] + jnp.sum(jnp.abs(diff))
+            )
+            acc[f'{spec.key}_cnt'] = acc[f'{spec.key}_cnt'] + jnp.sum(m)
+        elif spec.metric == 'Loss':
+            from .loss import _criterion
+
+            crit = _criterion(spec.criterion, **dict(spec.criterion_params))
+            acc[f'{spec.key}_sum'] = (
+                acc[f'{spec.key}_sum'] + jnp.sum(crit(pred, ref) * m)
             )
             acc[f'{spec.key}_cnt'] = acc[f'{spec.key}_cnt'] + jnp.sum(m)
         elif spec.metric == 'VectorMAE':
