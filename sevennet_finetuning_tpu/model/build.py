@@ -19,6 +19,7 @@ from .nequip import (
     EdgeEmbedSpec,
     ModelSpec,
     ReadoutSpec,
+    build_gaunt_block,
     build_mace_block,
     build_nequip_block,
 )
@@ -39,7 +40,7 @@ def build_model_spec(config: Dict) -> ModelSpec:
     cutoff = float(config.get(K.CUTOFF, 4.5))
     biases = config.get(K.USE_BIAS_IN_LINEAR, False)
     interaction = config.get(K.INTERACTION_TYPE, 'nequip')
-    if interaction not in ('nequip', 'mace'):
+    if interaction not in ('nequip', 'mace', 'gaunt', 'gaunt_gate'):
         raise NotImplementedError(
             f'interaction type {interaction!r} not yet available'
         )
@@ -90,7 +91,61 @@ def build_model_spec(config: Dict) -> ModelSpec:
     blocks = []
     cur_lmax_node = lmax_node
     for t in range(num_layers):
-        if interaction == 'mace':
+        if interaction in ('gaunt', 'gaunt_gate'):
+            # reference: sevenn/model_build.py:327-347
+            parity_mode = 'sph'
+            fix = channel
+            if interaction == 'gaunt_gate':
+                if t == num_layers - 1 and restrict_last:
+                    cur_lmax_node = 0
+                    parity_mode = 'even'
+                    fix = False
+                irreps_out_tp = tp_out_irreps(
+                    irreps_x, irreps_filter, cur_lmax_node, parity_mode,
+                    fix_multiplicity=fix,
+                )
+            else:
+                irreps_out_tp = tp_out_irreps(
+                    irreps_x, irreps_filter, cur_lmax_node, 'sph',
+                    fix_multiplicity=channel,
+                )
+                if t == num_layers - 1 and restrict_last:
+                    cur_lmax_node = 0
+                    parity_mode = 'even'
+            irreps_out = (
+                tp_out_irreps(
+                    irreps_x, irreps_filter, cur_lmax_node, parity_mode,
+                    fix_multiplicity=channel,
+                )
+                if not irreps_manual
+                else irreps_manual[t + 1]
+            )
+            blocks.append(
+                build_gaunt_block(
+                    t=t,
+                    irreps_x=irreps_x,
+                    irreps_filter=irreps_filter,
+                    irreps_out_tp=irreps_out_tp,
+                    irreps_out=irreps_out,
+                    num_species=num_species,
+                    radial_hidden=radial_hidden,
+                    bessel_num=bessel_num,
+                    act_radial=act_radial,
+                    self_connection=(
+                        'linear' if interaction == 'gaunt'
+                        else self_connection
+                    ),
+                    denominator=conv_denominator[t],
+                    train_denominator=config.get(K.TRAIN_DENOMINATOR,
+                                                 False),
+                    biases=biases,
+                    gate_block=(interaction == 'gaunt_gate'),
+                    act_scalar=act_scalar,
+                    act_gate=act_gate,
+                    correlation=config.get(K.CORRELATION, 3),
+                )
+            )
+        elif interaction == 'mace':
             # reference: sevenn/model_build.py:316-325 -- conv output
             # keeps sph parity up to lmax_edge; last-layer output scalars
             parity_mode = 'sph'

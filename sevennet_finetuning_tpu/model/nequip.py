@@ -79,10 +79,12 @@ class BlockSpec:
     denominator: float
     train_denominator: bool
     si2: LinearSpec
-    gate: Optional[GateSpec]               # None for MACE blocks
-    block_type: str = 'nequip'             # 'nequip' | 'mace'
-    pb_spec: object = None                 # SymContractionSpec (mace)
+    gate: Optional[GateSpec]               # None for MACE/gaunt blocks
+    block_type: str = 'nequip'             # 'nequip' | 'mace' | 'gaunt'
+    pb_spec: object = None                 # SymContraction / GauntPB spec
     si3: Optional[LinearSpec] = None       # (mace)
+    conv_kind: str = 'cg'                  # 'cg' | 'gaunt'
+    gaunt_conv: object = None              # GauntConvSpec when 'gaunt'
 
 
 @dataclass(frozen=True)
@@ -243,6 +245,97 @@ def build_mace_block(
     )
 
 
+def build_gaunt_block(
+    t: int,
+    irreps_x: Irreps,
+    irreps_filter: Irreps,
+    irreps_out_tp: Irreps,
+    irreps_out: Irreps,
+    num_species: int,
+    radial_hidden: Tuple[int, ...],
+    bessel_num: int,
+    act_radial: str,
+    self_connection: str,
+    denominator: float,
+    train_denominator: bool,
+    biases: bool,
+    gate_block: bool,
+    act_scalar: Optional[Dict[str, str]] = None,
+    act_gate: Optional[Dict[str, str]] = None,
+    correlation: int = 3,
+) -> BlockSpec:
+    """Gaunt interaction blocks (reference:
+    sevenn/nn/interaction_blocks.py:165-335).
+
+    gate_block=True -> 'gaunt_gate': NequIP structure whose convolution
+    uses the Fourier-basis Gaunt product (falling back to the CG conv
+    when either side is scalar-only).  gate_block=False -> 'gaunt':
+    uniform-multiplicity blocks with a Gaunt self-product basis and no
+    gate."""
+    from ..ops.gaunt import gaunt_conv_spec, gaunt_pb_spec
+
+    node_attr_irreps = Irreps(f'{num_species}x0e')
+    use_gaunt_conv = irreps_x.lmax > 0 and Irreps(irreps_out_tp).lmax > 0
+
+    if gate_block:
+        gate = gate_spec(irreps_out, act_scalar, act_gate)
+        target = gate.irreps_in
+    else:
+        gate = None
+        target = Irreps(irreps_out_tp)
+
+    if self_connection == 'nequip':
+        sc = fctp_spec(irreps_x, node_attr_irreps, target)
+    elif self_connection == 'linear':
+        sc = linear_spec(irreps_x, target, biases=False)
+    else:
+        sc = None
+
+    si1 = linear_spec(irreps_x, irreps_x, biases=biases)
+    if use_gaunt_conv:
+        gconv = gaunt_conv_spec(
+            irreps_x, irreps_filter, Irreps(irreps_out_tp),
+            radial_hidden, bessel_num, act_radial,
+        )
+        conv_tp = uvu_tp_spec(irreps_x, irreps_filter, irreps_out_tp)
+        radial_hs = (bessel_num,) + tuple(radial_hidden) \
+            + (gconv.weight_numel,)
+        conv_out = Irreps(irreps_out_tp)
+    else:
+        gconv = None
+        conv_tp = uvu_tp_spec(irreps_x, irreps_filter, irreps_out_tp)
+        radial_hs = (bessel_num,) + tuple(radial_hidden) \
+            + (conv_tp.weight_numel,)
+        conv_out = conv_tp.irreps_out.simplify()
+
+    si2 = linear_spec(conv_out, target, biases=biases)
+
+    pb = None
+    if not gate_block:
+        pb = gaunt_pb_spec(Irreps(irreps_out_tp), irreps_out, correlation)
+
+    return BlockSpec(
+        t=t,
+        irreps_x=irreps_x,
+        irreps_out=(gate.irreps_out if gate_block else Irreps(irreps_out)),
+        self_connection=self_connection,
+        sc_spec=sc,
+        si1=si1,
+        conv_tp=conv_tp,
+        radial_hs=radial_hs,
+        act_radial=act_radial,
+        denominator=denominator,
+        train_denominator=train_denominator,
+        si2=si2,
+        gate=gate,
+        block_type=('gaunt_gate' if gate_block else 'gaunt'),
+        pb_spec=pb,
+        si3=None,
+        conv_kind=('gaunt' if use_gaunt_conv else 'cg'),
+        gaunt_conv=gconv,
+    )
+
+
 # ---------------------------------------------------------------------------
 # parameter init
 # ---------------------------------------------------------------------------
@@ -283,6 +376,10 @@ def init_params(spec: ModelSpec, seed: int = 0) -> Params:
                 blk.pb_spec, rng
             )
             p[f'{t}_self_interaction_3'] = _linear_params(blk.si3, rng)
+        elif blk.block_type == 'gaunt':
+            from ..ops.gaunt import init_gaunt_pb
+
+            p[f'{t}_gaunt_product_basis'] = init_gaunt_pb(blk.pb_spec, rng)
 
     if spec.readout.as_fcn:
         p['readout_FCN'] = {
@@ -381,21 +478,40 @@ def run_blocks(
 
         conv_p = params[f'{t}_convolution']
         n_w = len(blk.radial_hs) - 1
-        w_edge = mlp_apply(
-            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-            emb, blk.act_radial,
-        )
         x_all = x if exchange_fn is None else exchange_fn(x)
-        msg = apply_tp(blk.conv_tp, x_all[edge_src], edge_attr, w_edge)
-        x = jax.ops.segment_sum(msg, edge_dst, num_segments=n_node)
-        x = x / conv_p['denominator']
+        if blk.conv_kind == 'gaunt':
+            from ..ops.gaunt import apply_gaunt_conv
+
+            x = apply_gaunt_conv(
+                blk.gaunt_conv,
+                [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+                x_all, edge_attr, emb, edge_src, edge_dst, n_node,
+                conv_p['denominator'],
+            )
+        else:
+            w_edge = mlp_apply(
+                [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+                emb, blk.act_radial,
+            )
+            msg = apply_tp(blk.conv_tp, x_all[edge_src], edge_attr, w_edge)
+            x = jax.ops.segment_sum(msg, edge_dst, num_segments=n_node)
+            x = x / conv_p['denominator']
         cap(f'{t}_convolution', x)
 
         x = apply_linear(blk.si2,
                          _linear_w(params[f'{t}_self_interaction_2']), x)
         cap(f'{t}_self_interaction_2', x)
 
-        if blk.block_type == 'mace':
+        if blk.block_type == 'gaunt':
+            from ..ops.gaunt import apply_gaunt_pb
+
+            if sc is not None:
+                x = x + sc
+            x = apply_gaunt_pb(
+                blk.pb_spec, params[f'{t}_gaunt_product_basis'], x
+            )
+            cap(f'{t}_gaunt_product_basis', x)
+        elif blk.block_type == 'mace':
             from ..ops.symmetric_contraction import apply_sym_contraction
 
             x = apply_sym_contraction(

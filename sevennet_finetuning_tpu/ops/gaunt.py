@@ -1,0 +1,402 @@
+"""Gaunt tensor products in the 2D Fourier basis (JAX).
+
+From-scratch re-derivation of the reference's Gaunt convolution machinery
+(reference: sevenn/nn/gaunt_util.py, sevenn/nn/convolution.py:126-403,
+sevenn/nn/gaunt_product_basis.py; method of Luo et al., "Gaunt Tensor
+Products", arXiv:2401.10216): spherical-harmonic expansions are mapped to
+2D Fourier coefficients on the torus (theta, phi), where products of
+functions on the sphere become 2D convolutions of coefficient grids --
+evaluated as FFT pointwise products.
+
+Unlike the reference, the basis-change tables are not shipped pickles:
+- Y (SH -> Fourier) coefficients are computed by sampling our own real
+  spherical harmonics on a torus grid and exact DFT (they are trig
+  polynomials of bounded degree, so the DFT is exact)
+- Z (Fourier -> SH) is the Moore-Penrose pseudo-inverse of Y, exact on
+  the span of extended spherical harmonics (which is closed under
+  products)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..irreps import Irreps
+from .spherical import spherical_harmonics
+from .wigner import wigner_3j
+
+PRECISION = lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=None)
+def y_coeffs(L: int) -> np.ndarray:
+    """Fourier coefficients of the real SH basis on the torus:
+    shape ((L+1)^2, 2L+1, 2L+1) complex; axes (lm, u+L, v+L) with
+    Y_lm(theta, phi) = sum_uv Y[lm, u, v] e^(i u theta) e^(i v phi)."""
+    from .spherical import _recursion_scales
+
+    n = 2 * L + 1
+    theta = 2 * np.pi * np.arange(n) / n
+    phi = 2 * np.pi * np.arange(n) / n
+    tt, pp = np.meshgrid(theta, phi, indexing='ij')
+    dirs = np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)],
+        axis=-1,
+    ).reshape(-1, 3)
+    # evaluate our real SH in float64 numpy (same recursion as
+    # ops.spherical, independent of the jax x64 flag)
+    scales = _recursion_scales(L) if L >= 1 else ()
+    blocks = [np.ones((dirs.shape[0], 1))]
+    if L >= 1:
+        prev = dirs
+        blocks.append(prev * np.sqrt(3.0))
+        for l in range(2, L + 1):
+            w = wigner_3j(l - 1, 1, l) * scales[l - 1]
+            prev = np.einsum('na,nb,abk->nk', prev, dirs, w)
+            blocks.append(prev * np.sqrt(2 * l + 1))
+    vals = np.concatenate(blocks, axis=-1).reshape(n, n, (L + 1) ** 2)
+    # c[u, v] = (1/n^2) sum f e^{-i(u theta + v phi)} -> exact for trig
+    # polynomials of degree <= L
+    c = np.fft.fft2(vals, axes=(0, 1)) / n**2
+    # reorder fft frequencies [0..L, -L..-1] -> [-L..L]
+    order = np.concatenate([np.arange(L + 1, n), np.arange(L + 1)])
+    c = c[np.ix_(order, order)]
+    return np.ascontiguousarray(np.moveaxis(c, -1, 0))
+
+
+@lru_cache(maxsize=None)
+def z_coeffs(L: int, L_max: int = -1) -> np.ndarray:
+    """Fourier -> SH projection: shape ((2L+1)^2, (L_max+1)^2) complex,
+    the pseudo-inverse of the degree-L Y table (exact on products of
+    extended spherical harmonics)."""
+    if L_max == -1:
+        L_max = L
+    Y = y_coeffs(L).reshape((L + 1) ** 2, -1)
+    Z = np.linalg.pinv(Y)          # ((2L+1)^2, (L+1)^2)
+    return np.ascontiguousarray(Z[:, :(L_max + 1) ** 2])
+
+
+def weight_align_matrix(L: int) -> np.ndarray:
+    """( L+1, (L+1)^2 ): broadcast one weight per l over its 2l+1
+    components (reference: sevenn/nn/gaunt_util.py:16-24)."""
+    idx = [l for l in range(L + 1) for _ in range(2 * l + 1)]
+    return np.eye(L + 1)[idx].T.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def fit_gaunt_to_w3j(L1: int, L2: int) -> np.ndarray:
+    """Per-l_out ratio normalizing the Gaunt product to the CG-TP scale
+    (reference: sevenn/nn/gaunt_util.py:179-201, mode 'norm')."""
+    Lmax = L1 + L2
+    buckets = [[] for _ in range(Lmax + 1)]
+    for l1 in range(L1 + 1):
+        for l2 in range(L2 + 1):
+            for lo in range(abs(l1 - l2), l1 + l2 + 1):
+                w = wigner_3j(l1, l2, lo)[l1, l2, lo]
+                mult = (2 * l1 + 1) * (2 * l2 + 1) * (2 * lo + 1)
+                buckets[lo].append(np.sqrt(mult / (4 * np.pi)) * w)
+    out = np.ones(Lmax + 1)
+    for lo, vals in enumerate(buckets):
+        if vals:
+            out[lo] = 1.0 / np.linalg.norm(np.array(vals))
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# strided-layout helpers (uniform multiplicity)
+# ---------------------------------------------------------------------------
+
+def _cdtype(x):
+    return jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+
+
+def flat_to_stride(x: jnp.ndarray, irreps: Irreps) -> jnp.ndarray:
+    """[..., sum mul*d] -> [..., mul, (lmax+1)^2] (uniform mul, sph-like
+    sorted irreps covering every l up to lmax)."""
+    mul = irreps[0].mul
+    blocks = []
+    off = 0
+    for mi in irreps:
+        b = x[..., off:off + mi.dim].reshape(
+            x.shape[:-1] + (mul, mi.ir.dim)
+        )
+        blocks.append(b)
+        off += mi.dim
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def stride_to_flat(x: jnp.ndarray, irreps: Irreps) -> jnp.ndarray:
+    out = []
+    off = 0
+    for mi in irreps:
+        out.append(
+            x[..., off:off + mi.ir.dim].reshape(x.shape[:-2] + (mi.dim,))
+        )
+        off += mi.ir.dim
+    return jnp.concatenate(out, axis=-1)
+
+
+def to_fourier(x_stride: jnp.ndarray, L: int) -> jnp.ndarray:
+    """[..., (L+1)^2] (strided trailing ir axis) -> [..., 2L+1, 2L+1]
+    complex Fourier coefficient grids."""
+    cd = _cdtype(x_stride)
+    Y = jnp.asarray(y_coeffs(L).reshape((L + 1) ** 2, -1), dtype=cd)
+    out = jnp.einsum(
+        '...i,ij->...j', x_stride.astype(cd), Y,
+        precision=PRECISION,
+    )
+    return out.reshape(x_stride.shape[:-1] + (2 * L + 1, 2 * L + 1))
+
+
+def to_spherical(grid: jnp.ndarray, L: int, L_max: int) -> jnp.ndarray:
+    """[..., 2L+1, 2L+1] coefficient grids -> [..., (L_max+1)^2] real."""
+    Z = jnp.asarray(z_coeffs(L, L_max), dtype=grid.dtype)
+    flat = grid.reshape(grid.shape[:-2] + ((2 * L + 1) ** 2,))
+    return jnp.einsum(
+        '...u,ui->...i', flat, Z, precision=PRECISION
+    ).real
+
+
+def gaunt_product_grids(a: jnp.ndarray, b: jnp.ndarray, La: int, Lb: int
+                        ) -> jnp.ndarray:
+    """2D convolution of coefficient grids via FFT: inputs
+    [..., 2La+1, 2La+1] and [..., 2Lb+1, 2Lb+1] -> [..., 2L+1, 2L+1]
+    (L = La + Lb)."""
+    L = La + Lb
+    size = (2 * L + 1, 2 * L + 1)
+    fa = jnp.fft.fft2(a, s=size)
+    fb = jnp.fft.fft2(b, s=size)
+    conv = jnp.fft.ifft2(fa * fb)
+    # inputs indexed from u=-La at 0: convolution support starts at
+    # -(La+Lb) at index 0 -- already centered for a (2L+1) grid
+    return conv
+
+
+# ---------------------------------------------------------------------------
+# Gaunt convolution (the message function)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GauntConvSpec:
+    irreps_x: Irreps           # uniform mul, sph-like, sorted/simplified
+    irreps_filter: Irreps      # mul-1 SH
+    irreps_out: Irreps
+    radial_hs: Tuple[int, ...]
+    act_radial: str
+
+    @property
+    def mul(self) -> int:
+        return self.irreps_x[0].mul
+
+    @property
+    def L_x(self) -> int:
+        return self.irreps_x.lmax
+
+    @property
+    def L_f(self) -> int:
+        return self.irreps_filter.lmax
+
+    @property
+    def L_out(self) -> int:
+        return self.irreps_out.lmax
+
+    @property
+    def weight_numel(self) -> int:
+        return self.mul * len(self.irreps_out)
+
+
+def gaunt_conv_spec(
+    irreps_x: Irreps,
+    irreps_filter: Irreps,
+    irreps_out: Irreps,
+    radial_hidden: Tuple[int, ...],
+    bessel_num: int,
+    act_radial: str,
+) -> GauntConvSpec:
+    irreps_x = Irreps(irreps_x)
+    irreps_out = Irreps(irreps_out)
+    mul = irreps_x[0].mul
+    assert all(mi.mul == mul for mi in irreps_x)
+    assert all(mi.mul == mul for mi in irreps_out)
+    assert all(mi.mul == 1 for mi in irreps_filter)
+    for irr in (irreps_x, irreps_out):
+        if len(irr) != irr.lmax + 1:
+            raise ValueError(
+                f'gaunt ops need contiguous l coverage 0..lmax, got {irr!r}'
+                ' (is_parity: true is required so odd-l irreps survive the'
+                " 'sph' parity filter)"
+            )
+    spec = GauntConvSpec(
+        irreps_x, Irreps(irreps_filter), irreps_out,
+        radial_hs=(bessel_num,) + tuple(radial_hidden),
+        act_radial=act_radial,
+    )
+    return spec
+
+
+def _aligned_path_weights(spec: GauntConvSpec) -> np.ndarray:
+    """a_w with e3nn path weights sqrt(2l+1) and the Gaunt/CGTP ratio
+    folded in (reference: sevenn/nn/convolution.py:184-194)."""
+    a_w = weight_align_matrix(spec.L_out)
+    path_w = np.array(
+        [np.sqrt(mi.ir.dim) for mi in spec.irreps_out], np.float32
+    )
+    path_w = path_w * fit_gaunt_to_w3j(spec.L_x, spec.L_f)[:spec.L_out + 1]
+    return (a_w.T * path_w).T  # (L_out+1, (L_out+1)^2)
+
+
+def apply_gaunt_conv(
+    spec: GauntConvSpec,
+    weight_nn_params,
+    x_flat: jnp.ndarray,
+    edge_attr: jnp.ndarray,
+    emb: jnp.ndarray,
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    n_node: int,
+    denominator: jnp.ndarray,
+) -> jnp.ndarray:
+    """Messages by pointwise product on the sphere; returns flat node
+    features of ``spec.irreps_out``."""
+    from .mlp import mlp_apply
+
+    L = spec.L_x + spec.L_f
+    size = (2 * L + 1, 2 * L + 1)
+
+    x_stride = flat_to_stride(x_flat, spec.irreps_x)   # [N, mul, d]
+    x_four = to_fourier(x_stride, spec.L_x)            # [N, mul, u, v]
+    x_fft = jnp.fft.fft2(x_four, s=size)
+
+    filt_four = to_fourier(edge_attr[:, None, :], spec.L_f)  # [E,1,u,v]
+    filt_fft = jnp.fft.fft2(filt_four, s=size)
+
+    conv = jnp.fft.ifft2(x_fft[edge_src] * filt_fft)
+    msg_stride = to_spherical(conv, L, spec.L_out)     # [E, mul, d_out]
+
+    w = mlp_apply(weight_nn_params, emb, spec.act_radial)
+    w = w.reshape(w.shape[:-1] + (spec.mul, len(spec.irreps_out)))
+    a_w = jnp.asarray(_aligned_path_weights(spec), dtype=x_flat.dtype)
+    msg_stride = msg_stride * jnp.einsum(
+        '...ul,li->...ui', w, a_w, precision=PRECISION
+    )
+
+    agg = jax.ops.segment_sum(msg_stride, edge_dst, num_segments=n_node)
+    agg = agg / denominator
+    return stride_to_flat(agg, spec.irreps_out)
+
+
+# ---------------------------------------------------------------------------
+# Gaunt product basis (self tensor power)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GauntProductBasisSpec:
+    irreps_x: Irreps
+    irreps_out: Irreps
+    correlation: int
+    with_weight: bool = True
+
+    @property
+    def mul(self) -> int:
+        return self.irreps_x[0].mul
+
+    @property
+    def L_x(self) -> int:
+        return self.irreps_x.lmax
+
+    @property
+    def L_true(self) -> int:
+        return self.correlation * self.L_x
+
+
+def gaunt_pb_spec(irreps_x: Irreps, irreps_out: Irreps, correlation: int,
+                  with_weight: bool = True) -> GauntProductBasisSpec:
+    irreps_x = Irreps(irreps_x)
+    irreps_out = Irreps(irreps_out)
+    mul = irreps_x[0].mul
+    assert all(mi.mul == mul for mi in irreps_x)
+    assert all(mi.mul == mul for mi in irreps_out)
+    assert irreps_out.lmax <= correlation * irreps_x.lmax
+    return GauntProductBasisSpec(irreps_x, irreps_out, correlation,
+                                 with_weight)
+
+
+def init_gaunt_pb(spec: GauntProductBasisSpec, rng: np.random.Generator):
+    if not spec.with_weight:
+        return {}
+    return {
+        f'w{i}': rng.standard_normal(
+            (spec.mul, spec.L_x + 1)
+        ).astype(np.float32)
+        for i in range(spec.correlation)
+    }
+
+
+def _pb_path_weights(spec: GauntProductBasisSpec) -> np.ndarray:
+    """Per-component path weights: sqrt(2l+1) x accumulated Gaunt ratios
+    (reference: sevenn/nn/gaunt_product_basis.py:57-75)."""
+    L_out = spec.irreps_out.lmax
+    path_w = np.array(
+        [np.sqrt(mi.ir.dim) for mi in spec.irreps_out], np.float64
+    )
+    ratio = np.ones(L_out + 1)
+    base_l = spec.L_x
+    for _ in range(spec.correlation - 1):
+        r = fit_gaunt_to_w3j(base_l, spec.L_x)
+        n = min(len(r), len(ratio))
+        ratio[:n] *= r[:n]
+        base_l += spec.L_x
+    path_w = path_w * ratio
+    idx = [l for l in range(L_out + 1) for _ in range(2 * l + 1)]
+    return path_w[idx].astype(np.float32)
+
+
+def apply_gaunt_pb(
+    spec: GauntProductBasisSpec,
+    params,
+    x_flat: jnp.ndarray,
+) -> jnp.ndarray:
+    """x -> sum_v (weighted x)^(x v), Fourier-accumulated then projected
+    (reference: sevenn/nn/gaunt_product_basis.py:84-129)."""
+    L_x, L_out = spec.L_x, spec.L_true
+    size = (2 * L_out + 1, 2 * L_out + 1)
+    a_w = jnp.asarray(weight_align_matrix(L_x), dtype=x_flat.dtype)
+
+    x_stride = flat_to_stride(x_flat, spec.irreps_x)
+
+    def weighted(i):
+        if not spec.with_weight:
+            return x_stride
+        w = jnp.asarray(params[f'w{i}'], x_flat.dtype)
+        return x_stride * jnp.einsum(
+            'ul,li->ui', w, a_w, precision=PRECISION
+        )
+
+    out = jnp.zeros(
+        x_stride.shape[:-1] + size, dtype=_cdtype(x_stride)
+    )
+    x0_four = to_fourier(weighted(0), L_x)
+    base = jnp.fft.fft2(x0_four, s=size)
+    c = L_out - L_x
+    r = 2 * L_x + 1
+    out = out.at[..., c:c + r, c:c + r].add(x0_four)
+
+    for i, v in enumerate(range(2, spec.correlation + 1)):
+        c = L_out - L_x * v
+        r = 2 * L_x * v + 1
+        xv = jnp.fft.fft2(to_fourier(weighted(i + 1), L_x), s=size)
+        base = base * xv
+        out = out.at[..., c:c + r, c:c + r].add(
+            jnp.fft.ifft2(base)[..., :r, :r]
+        )
+
+    y = to_spherical(out, L_out, spec.irreps_out.lmax)
+    y = y * jnp.asarray(_pb_path_weights(spec), dtype=x_flat.dtype)
+    return stride_to_flat(y, spec.irreps_out)

@@ -1,0 +1,149 @@
+"""Gaunt-FFT tensor products and interaction types."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from sevennet_finetuning_tpu import keys as K
+from sevennet_finetuning_tpu.data.vasp import Structure
+from sevennet_finetuning_tpu.irreps import Irreps
+from sevennet_finetuning_tpu.model.build import build_model_spec
+from sevennet_finetuning_tpu.model.graph import collate, structure_to_graph
+from sevennet_finetuning_tpu.model.nequip import apply_model, init_params
+from sevennet_finetuning_tpu.ops.gaunt import (
+    apply_gaunt_pb,
+    gaunt_pb_spec,
+    init_gaunt_pb,
+    to_fourier,
+    to_spherical,
+    y_coeffs,
+    z_coeffs,
+)
+from sevennet_finetuning_tpu.ops.spherical import spherical_harmonics
+from tests.helpers import rep_matrix
+
+
+def test_z_inverts_y():
+    for L in (1, 2, 3):
+        Y = y_coeffs(L).reshape((L + 1) ** 2, -1)
+        Z = z_coeffs(L)
+        np.testing.assert_allclose(
+            (Y @ Z).real, np.eye((L + 1) ** 2), atol=1e-10
+        )
+
+
+def test_gaunt_product_identity():
+    """The FFT pipeline computes exact pointwise products on the sphere."""
+    L1, L2 = 2, 1
+    rng = np.random.default_rng(0)
+    cf = rng.normal(size=((L1 + 1) ** 2,))
+    cg = rng.normal(size=((L2 + 1) ** 2,))
+    f_four = np.asarray(to_fourier(jnp.asarray(cf)[None], L1))[0]
+    g_four = np.asarray(to_fourier(jnp.asarray(cg)[None], L2))[0]
+    Lo = L1 + L2
+    size = (2 * Lo + 1, 2 * Lo + 1)
+    conv = np.fft.ifft2(
+        np.fft.fft2(f_four, s=size) * np.fft.fft2(g_four, s=size)
+    )
+    c_out = np.asarray(to_spherical(jnp.asarray(conv)[None], Lo, Lo))[0]
+
+    sh1 = spherical_harmonics(L1)
+    sh2 = spherical_harmonics(L2)
+    sho = spherical_harmonics(Lo)
+    v = rng.normal(size=(16, 3))
+    f_v = np.asarray(sh1(jnp.asarray(v))) @ cf
+    g_v = np.asarray(sh2(jnp.asarray(v))) @ cg
+    prod_v = np.asarray(sho(jnp.asarray(v))) @ c_out
+    np.testing.assert_allclose(prod_v, f_v * g_v, atol=1e-4)
+
+
+def test_gaunt_pb_equivariance():
+    irr = Irreps('3x0e+3x1o+3x2e')
+    spec = gaunt_pb_spec(irr, irr, correlation=2)
+    rng = np.random.default_rng(1)
+    w = init_gaunt_pb(spec, rng)
+    x = rng.normal(size=(4, irr.dim))
+    out = np.asarray(apply_gaunt_pb(spec, w, jnp.asarray(x)))
+    R = Rotation.random(random_state=2).as_matrix()
+    D = rep_matrix(irr, R)
+    out_rot = np.asarray(apply_gaunt_pb(spec, w, jnp.asarray(x @ D.T)))
+    np.testing.assert_allclose(out_rot, out @ D.T, atol=1e-4)
+
+
+def _gaunt_model(itype, n=20):
+    rng = np.random.default_rng(0)
+    s = Structure(
+        species=['Si' if i % 2 else 'O' for i in range(n)],
+        pos=rng.uniform(0, 8.0, (n, 3)),
+        cell=np.eye(3) * 8.0,
+    )
+    tm = {8: 0, 14: 1}
+    cfg = {
+        K.NUM_SPECIES: 2, K.TYPE_MAP: tm,
+        K.NODE_FEATURE_MULTIPLICITY: 4, K.LMAX: 2,
+        K.NUM_CONVOLUTION: 3, K.CUTOFF: 3.5, K.IS_PARITY: True,
+        K.INTERACTION_TYPE: itype, K.CORRELATION: 2,
+        K.CONV_DENOMINATOR: 8.0, K.SHIFT: -2.0, K.SCALE: 1.0,
+    }
+    spec = build_model_spec(cfg)
+    params = init_params(spec, 0)
+    g = structure_to_graph(s, 3.5, tm)
+    b = collate([g], n_node=n, n_edge=g[K.EDGE_IDX].shape[1], n_graph=1)
+    b = {k: jnp.asarray(v) for k, v in b.items()
+         if k not in (K.INFO, K.USER_LABEL)}
+    return s, spec, params, b
+
+
+@pytest.mark.parametrize('itype', ['gaunt_gate', 'gaunt'])
+def test_gaunt_model_equivariance(itype):
+    s, spec, params, b = _gaunt_model(itype)
+    out = apply_model(spec, params, b)
+    E = float(out[K.PRED_TOTAL_ENERGY][0])
+    F = np.asarray(out[K.PRED_FORCE])
+    assert np.isfinite(E) and np.isfinite(F).all()
+    R = Rotation.random(random_state=3).as_matrix()
+    b2 = dict(b)
+    b2[K.POS] = b[K.POS] @ jnp.asarray(R.T, dtype=b[K.POS].dtype)
+    b2[K.CELL] = b[K.CELL] @ jnp.asarray(R.T, dtype=b[K.CELL].dtype)
+    out2 = apply_model(spec, params, b2)
+    np.testing.assert_allclose(
+        float(out2[K.PRED_TOTAL_ENERGY][0]), E, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2[K.PRED_FORCE]), F @ R.T, atol=1e-4
+    )
+
+
+def test_gaunt_forces_finite_difference():
+    s, spec, params, b = _gaunt_model('gaunt')
+    b64 = {k: (v.astype(jnp.float64) if v.dtype == jnp.float32 else v)
+           for k, v in b.items()}
+    fwd = jax.jit(lambda bb: apply_model(spec, params, bb))
+    out = fwd(b64)
+    eps = 1e-5
+    a, ax = 3, 1
+    pp = np.asarray(b64[K.POS]).copy()
+    pm = pp.copy()
+    pp[a, ax] += eps
+    pm[a, ax] -= eps
+    fd = -(fwd({**b64, K.POS: jnp.asarray(pp)})[K.PRED_TOTAL_ENERGY][0]
+           - fwd({**b64, K.POS: jnp.asarray(pm)})[K.PRED_TOTAL_ENERGY][0]
+           ) / (2 * eps)
+    np.testing.assert_allclose(
+        float(fd), float(out[K.PRED_FORCE][a, ax]), atol=1e-6
+    )
+
+
+def test_gaunt_requires_parity():
+    tm = {8: 0, 14: 1}
+    cfg = {
+        K.NUM_SPECIES: 2, K.TYPE_MAP: tm,
+        K.NODE_FEATURE_MULTIPLICITY: 4, K.LMAX: 2,
+        K.NUM_CONVOLUTION: 2, K.CUTOFF: 3.5, K.IS_PARITY: False,
+        K.INTERACTION_TYPE: 'gaunt', K.CORRELATION: 2,
+        K.CONV_DENOMINATOR: 8.0, K.SHIFT: 0.0, K.SCALE: 1.0,
+    }
+    with pytest.raises(ValueError):
+        build_model_spec(cfg)
