@@ -21,7 +21,13 @@ from .train.metrics import STRESS_COEFF_KBAR
 
 
 class Calculator:
-    def __init__(self, spec: ModelSpec, params: Params):
+    def __init__(self, spec: ModelSpec, params: Params,
+                 d3: Optional[Dict] = None):
+        """d3: optional dispersion settings, e.g.
+        dict(functional='pbe', damping='bj'[, cutoff=..., cn_cutoff=...])
+        -- adds Grimme D3 energy/forces/stress on top of the GNN
+        (the reference couples its CUDA D3 pair style the same way,
+        reference: sevenn/pair_e3gnn/README.md)."""
         import jax
         import jax.numpy as jnp
 
@@ -29,6 +35,18 @@ class Calculator:
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.type_map = dict(spec.type_map)
         self._fwd_cache: Dict[Tuple[int, int], object] = {}
+        self.d3 = None
+        if d3 is not None:
+            from .ops.d3 import AU_TO_ANG, d3_spec, d3_static_arrays
+
+            zs = [z for z, _ in sorted(self.type_map.items(),
+                                       key=lambda kv: kv[1])]
+            self.d3 = {
+                'spec': d3_spec(zs, **d3),
+                'cutoff_ang': None,
+            }
+            self.d3['arrays'] = d3_static_arrays(self.d3['spec'])
+            self.d3['cutoff_ang'] = self.d3['spec'].cutoff * AU_TO_ANG
 
     @classmethod
     def from_checkpoint(cls, path: str) -> 'Calculator':
@@ -70,14 +88,46 @@ class Calculator:
              if k not in (K.INFO, K.USER_LABEL)}
         out = self._forward(n_node, n_edge)(b)
         n = len(s)
+        energy = float(out[K.PRED_TOTAL_ENERGY][0])
+        forces = np.asarray(out[K.PRED_FORCE][:n])
         stress = np.asarray(out[K.PRED_STRESS][0])
+
+        if self.d3 is not None:
+            e_d3, f_d3, s_d3 = self._d3_terms(s)
+            energy += e_d3
+            forces = forces + f_d3
+            stress = stress + s_d3
+
         return {
-            'energy': float(out[K.PRED_TOTAL_ENERGY][0]),
+            'energy': energy,
             'energies': np.asarray(out[K.ATOMIC_ENERGY][:n]),
-            'forces': np.asarray(out[K.PRED_FORCE][:n]),
+            'forces': forces,
             'stress': stress,
             'stress_kbar': stress * STRESS_COEFF_KBAR,
         }
+
+    def _d3_terms(self, s: Structure):
+        import jax.numpy as jnp
+
+        from .data.neighborlist import neighbor_list
+        from .ops.d3 import d3_energy_forces_stress
+
+        i, j, shift, _ = neighbor_list(
+            s.pos, s.cell, s.pbc, self.d3['cutoff_ang']
+        )
+        types = np.array(
+            [self.type_map[int(z)] for z in s.atomic_numbers], np.int32
+        )
+        e, f, st = d3_energy_forces_stress(
+            self.d3['spec'], self.d3['arrays'],
+            jnp.asarray(s.pos, jnp.float32), jnp.asarray(types),
+            jnp.asarray(np.stack([i, j]).astype(np.int32)),
+            jnp.asarray(shift, jnp.float32),
+            jnp.asarray(s.cell, jnp.float32),
+            jnp.ones(len(i), jnp.float32),
+            float(s.volume),
+        )
+        return float(e), np.asarray(f), np.asarray(st)
 
     # ASE-like conveniences
     def get_potential_energy(self, s: Structure) -> float:
