@@ -13,6 +13,7 @@ heights), then query a cKDTree of the images against the home positions.
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -45,7 +46,15 @@ def neighbor_list(
     edge_vec = pos[j] + shift . cell - pos[i], |edge_vec| < cutoff.
 
     Both (i, j, S) and (j, i, -S) are present; (i, i, 0) is excluded.
+    Uses the native C++ cell-list core when available (set
+    SEVENN_NO_NATIVE=1 to force the pure-Python path).
     """
+    if not os.environ.get('SEVENN_NO_NATIVE'):
+        from .native import neighbor_list_native
+
+        out = neighbor_list_native(pos, cell, pbc, cutoff)
+        if out is not None:
+            return out
     pos = np.asarray(pos, dtype=np.float64)
     cell = np.asarray(cell, dtype=np.float64).reshape(3, 3)
     if isinstance(pbc, bool):

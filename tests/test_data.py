@@ -154,3 +154,31 @@ def test_loader_shapes_static():
         shapes.add(batch[K.POS].shape + batch[K.EDGE_IDX].shape)
     assert len(shapes) == 1  # every batch identical static shape
     assert len(loader) == 3
+
+
+def test_native_neighbor_list_matches_python():
+    from sevennet_finetuning_tpu.data.native import (
+        native_available,
+        neighbor_list_native,
+    )
+
+    if not native_available():
+        pytest.skip('no C++ toolchain')
+    import os
+
+    rng = np.random.default_rng(7)
+    for n, a, cut in [(96, 10.4, 4.0), (64, 5.0, 6.0)]:
+        pos = rng.uniform(-3, a + 3, (n, 3))   # unwrapped on purpose
+        cell = np.eye(3) * a + rng.normal(scale=0.3, size=(3, 3))
+        os.environ['SEVENN_NO_NATIVE'] = '1'
+        try:
+            i1, j1, s1, _ = neighbor_list(pos, cell, True, cut)
+        finally:
+            del os.environ['SEVENN_NO_NATIVE']
+        i2, j2, s2, d2 = neighbor_list_native(pos, cell, True, cut)
+        set1 = set(map(tuple, np.c_[i1, j1, s1.astype(int)]))
+        set2 = set(map(tuple, np.c_[i2, j2, s2.astype(int)]))
+        assert set1 == set2
+        np.testing.assert_allclose(
+            pos[j2] + s2 @ cell - pos[i2], d2, atol=1e-10
+        )
