@@ -69,11 +69,15 @@ class Calculator:
 
         key = (n_node, n_edge)
         if key not in self._fwd_cache:
-            spec, params = self.spec, self.params
+            spec = self.spec
+            # params enter as an ARGUMENT: closing them over would bake
+            # 843k weights into the program as constants, which some
+            # runtimes re-stage on every call (~100x slower dispatch)
             self._fwd_cache[key] = jax.jit(
-                lambda b: apply_model(spec, params, b)
+                lambda p, b: apply_model(spec, p, b)
             )
-        return self._fwd_cache[key]
+        fn = self._fwd_cache[key]
+        return lambda b: fn(self.params, b)
 
     def calculate(self, s: Structure) -> Dict[str, np.ndarray]:
         """energy (eV), energies (eV/atom), forces (eV/A),

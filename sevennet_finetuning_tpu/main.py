@@ -45,6 +45,42 @@ def cmd_train(args):
     train(cfg, working_dir=args.working_dir)
 
 
+def cmd_get_model(args):
+    """Deploy a checkpoint as a self-contained potential artifact.
+
+    Counterpart of the reference's sevenn_get_model (reference:
+    sevenn/main/sevenn_get_model.py, scripts/deploy.py): the reference
+    emits TorchScript for its LAMMPS pair styles; here one artifact
+    serves both the serial calculator and the multi-device halo-parallel
+    executor (the model is a single program -- no per-layer segment
+    files needed), so -p only changes the default file name.
+    """
+    import numpy as np
+
+    from . import keys as K
+    from .train.checkpoint import load_checkpoint, save_checkpoint
+
+    blob = load_checkpoint(args.checkpoint)
+    config = blob['config']
+    out = args.output or (
+        'deployed_parallel.sevenn' if args.parallel
+        else 'deployed_serial.sevenn'
+    )
+    # strip training-only state; keep model weights + full config
+    save_checkpoint(out, blob['model_state_dict'], config,
+                    epoch=blob.get('epoch', 0))
+    n_par = sum(
+        int(np.prod(np.shape(v)))
+        for g in blob['model_state_dict'].values()
+        for v in (g.values() if isinstance(g, dict) else [g])
+    )
+    tm = config.get(K.TYPE_MAP, {})
+    print(f'deployed {out}: {n_par} weights, cutoff '
+          f'{config.get(K.CUTOFF)}, {len(tm)} species')
+    print('load with Calculator.from_checkpoint(...) or use for '
+          'parallel MD via parallel.halo')
+
+
 def cmd_preset(args):
     here = os.path.join(os.path.dirname(__file__), 'presets')
     path = os.path.join(here, f'{args.name}.yaml')
@@ -92,6 +128,14 @@ def main(argv=None):
     t.add_argument('-fs', '--calc-fisher', action='store_true',
                    help='estimate Fisher information then exit')
     t.set_defaults(func=cmd_train)
+
+    gm = sub.add_parser('get_model', help='deploy a checkpoint as a '
+                        'self-contained potential artifact')
+    gm.add_argument('checkpoint')
+    gm.add_argument('-o', '--output')
+    gm.add_argument('-p', '--parallel', action='store_true',
+                    help='name the artifact for parallel MD use')
+    gm.set_defaults(func=cmd_get_model)
 
     pr = sub.add_parser('preset', help='print a preset input yaml')
     pr.add_argument('name')

@@ -99,10 +99,14 @@ def apply_linear(
             a = x[..., sl_in[ins.i_in]].reshape(
                 x.shape[:-1] + (mi.mul, mi.ir.dim)
             )
+            # multiplicity-last contraction: trailing ir dims (<= 2l+1)
+            # pad to 128-lane tiles on TPU; [., i, v] stays dense and the
+            # swap fuses into the output concat
             res = ins.coeff * jnp.einsum(
-                '...ui,uv->...vi', a, jnp.asarray(w, dtype=dtype),
+                '...ui,uv->...iv', a, jnp.asarray(w, dtype=dtype),
                 precision=PRECISION,
             )
+            res = jnp.swapaxes(res, -1, -2)
             res = res.reshape(res.shape[:-2] + (mo.dim,))
         else:  # bias on scalars
             res = jnp.broadcast_to(

@@ -216,10 +216,15 @@ def apply_tp(
             if mi2.mul != 1:
                 raise NotImplementedError('uvu with filter mul > 1')
             b1 = b[..., 0, :]
+            # contract with the multiplicity axis LAST: trailing dims of
+            # (2l+1) <= 7 would otherwise pad to 128-lane tiles (observed
+            # 6-40x HBM expansion on TPU); [., k, u] keeps tiles dense and
+            # the swap fuses into the output concatenation
             res = jnp.einsum(
-                '...u,...ui,...j,ijk->...uk', w, a, b1, C,
+                '...u,...ui,...j,ijk->...ku', w, a, b1, C,
                 precision=PRECISION,
             )
+            res = jnp.swapaxes(res, -1, -2)
         elif ins.mode == 'uvw':
             res = jnp.einsum(
                 '...ui,...vj,ijk,uvw->...wk', a, b, C, w,

@@ -213,7 +213,11 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
                       mesh: Mesh):
     """Jitted distributed forward:
     pos [D, n_local, 3] (sharded over 'sp') ->
-    (total energy scalar, forces [D, n_local, 3], stress voigt [6])."""
+    (total energy scalar, forces [D, n_local, 3], stress voigt [6]).
+
+    ``params`` are bound at call time (kept as jit arguments, replicated
+    over the mesh -- constant-baked weights dispatch ~100x slower on
+    tunneled runtimes)."""
     es = spec.edge
     sh_fn = spherical_harmonics(es.lmax_edge, normalize=es.normalize_sph)
     n_dev = plan.n_dev
@@ -223,7 +227,7 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
                              biases=spec.use_bias_in_linear)
     cellT = jnp.asarray(plan.cell)
 
-    def network_energy(edge_vec, atom_type, node_mask, dst, src,
+    def network_energy(params, edge_vec, atom_type, node_mask, dst, src,
                        edge_mask, send_r, send_r_m, send_l, send_l_m):
         """Edge vectors -> psum'd total energy (per-layer halo inside)."""
         from ..model.nequip import readout_and_rescale, run_blocks
@@ -255,7 +259,7 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
         _, atomic_e = readout_and_rescale(spec, params, x, atom_type)
         return lax.psum(jnp.sum(atomic_e * node_mask), SP_AXIS)
 
-    def shard_fn(pos, atom_type, node_mask, edge_idx, edge_shift,
+    def shard_fn(params, pos, atom_type, node_mask, edge_idx, edge_shift,
                  edge_mask, send_r, send_r_m, send_l, send_l_m):
         pos, atom_type, node_mask = pos[0], atom_type[0], node_mask[0]
         edge_idx, edge_shift, edge_mask = (
@@ -275,7 +279,7 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
 
         energy, fij = jax.value_and_grad(
             lambda ev: network_energy(
-                ev, atom_type, node_mask, dst, src, edge_mask,
+                params, ev, atom_type, node_mask, dst, src, edge_mask,
                 send_r, send_r_m, send_l, send_l_m,
             )
         )(edge_vec)
@@ -322,7 +326,7 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(sharded,) * 10,
+        in_specs=(P(),) + (sharded,) * 10,
         out_specs=(P(SP_AXIS), P(SP_AXIS), P(SP_AXIS)),
     )
 
@@ -335,9 +339,12 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
     )
 
     @jax.jit
-    def forward(pos_sharded):
-        e, f, s = fn(pos_sharded, *statics)
+    def jforward(p, pos_sharded):
+        e, f, s = fn(p, pos_sharded, *statics)
         return e[0], f, s[0]
+
+    def forward(pos_sharded):
+        return jforward(params, pos_sharded)
 
     return forward
 

@@ -57,7 +57,8 @@ def inference_main(
     se_e, se_f, se_s = [], [], []
     ae_e, ae_f, ae_s = [], [], []
 
-    fwd = jax.jit(lambda b: apply_model(spec, params, b))
+    jfwd = jax.jit(lambda p, b: apply_model(spec, p, b))
+    fwd = lambda b: jfwd(params, b)
     gidx = 0
     for batch in loader:
         b = {k: jnp.asarray(v) for k, v in batch.items()

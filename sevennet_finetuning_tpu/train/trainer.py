@@ -80,7 +80,7 @@ class Trainer:
 
         def step(params, opt_state, batch, acc):
             def lfn(p):
-                out = apply_model(spec, p, batch)
+                out = apply_model(spec, p, batch, remat=True)
                 total, terms = loss_fn(p, out)
                 return total, (out, terms)
 
@@ -111,7 +111,7 @@ class Trainer:
 
         def step(params, batch, fisher_acc, count, loss_thr):
             def lfn(p):
-                out = apply_model(spec, p, batch)
+                out = apply_model(spec, p, batch, remat=True)
                 total, _ = loss_fn(p, out)
                 return total
 
