@@ -106,7 +106,7 @@ def main():
     @jax.jit
     def train_step(p, o, b):
         def lfn(pp):
-            out = apply_model(spec, pp, b, remat=True)
+            out = apply_model(spec, pp, b, remat='auto')
             total, _ = loss_fn(pp, out)
             return total
 

@@ -96,6 +96,7 @@ DEFAULT_TRAINING_CONFIG: Dict[str, Any] = {
     K.PER_EPOCH: 10,
     K.IS_TRAIN_STRESS: True,
     K.TRAIN_SHUFFLE: True,
+    K.REMAT: 'auto',
     K.ERROR_RECORD: [
         ['Energy', 'RMSE'],
         ['Force', 'RMSE'],
@@ -128,6 +129,7 @@ TRAINING_CONFIG_CONDITION: Dict[str, Any] = {
     K.PER_EPOCH: int,
     K.IS_TRAIN_STRESS: bool,
     K.TRAIN_SHUFFLE: bool,
+    K.REMAT: lambda x: x in ('auto', True, False),
     K.CALC_FISHER: bool,
     K.LOSS_THR: float,
     K.REHEARSAL: bool,

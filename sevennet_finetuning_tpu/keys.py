@@ -123,6 +123,7 @@ LOCAL_RANK: Final[str] = 'local_rank'
 RANK: Final[str] = 'rank'
 WORLD_SIZE: Final[str] = 'world_size'
 TRAIN_SHUFFLE: Final[str] = 'train_shuffle'
+REMAT: Final[str] = 'remat'  # 'auto' | True | False: checkpoint blocks
 
 CONTINUE: Final[str] = 'continue'
 CHECKPOINT: Final[str] = 'checkpoint'

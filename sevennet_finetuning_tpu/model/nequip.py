@@ -52,6 +52,31 @@ from ..ops.util import safe_norm
 Params = Dict[str, Dict[str, jnp.ndarray]]
 
 
+def resolve_remat(spec: 'ModelSpec', n_edge: int, remat='auto') -> bool:
+    """Resolve remat='auto' from static shapes at trace time.
+
+    Checkpointing each block cuts double-backprop activation memory by
+    ~L x but costs ~2.5-3x step time on small batches, so only enable it
+    when the estimated live per-edge message residuals (forward residuals
+    + force-grad vjp + param-grad pass keep ~6 fp32 copies) exceed the
+    activation budget (env SEVENNET_TPU_ACT_BUDGET_GB, default 6 GiB).
+    """
+    if remat != 'auto':
+        return bool(remat)
+    import os
+
+    budget_gb = float(os.environ.get('SEVENNET_TPU_ACT_BUDGET_GB', '6'))
+    mid = 0
+    for b in spec.blocks:
+        tp = getattr(b, 'conv_tp', None)
+        if tp is not None:
+            mid += tp.irreps_out.dim
+        else:  # gaunt blocks: 2D Fourier grid per edge
+            mid += 4 * b.irreps_x.dim
+    est_bytes = 6.0 * 4.0 * float(n_edge) * float(mid)
+    return est_bytes > budget_gb * 2.0 ** 30
+
+
 @dataclass(frozen=True)
 class EdgeEmbedSpec:
     cutoff: float
@@ -596,15 +621,17 @@ def energy_network(
     data: Dict[str, jnp.ndarray],
     edge_vec: jnp.ndarray,
     intermediates: Optional[Dict[str, jnp.ndarray]] = None,
-    remat: bool = False,
+    remat=False,
 ) -> Dict[str, jnp.ndarray]:
     """Edge vectors + graph -> atomic & total energies (pure, jit-able).
+    ``remat`` may be True/False or 'auto' (resolved from batch shapes).
 
     Pass ``intermediates={}`` to capture per-stage node features (keys
     like '0_convolution', '1_equivariant_gate'...) for layer-parity checks
     against the reference.
     """
     out = dict(data)
+    remat = resolve_remat(spec, data[K.EDGE_IDX].shape[1], remat)
 
     def cap(name, val):
         if intermediates is not None:
@@ -672,7 +699,7 @@ def apply_model(
     spec: ModelSpec,
     params: Params,
     data: Dict[str, jnp.ndarray],
-    remat: bool = False,
+    remat=False,
 ) -> Dict[str, jnp.ndarray]:
     """Full forward: energies + forces + stress via one jax.grad over
     edge vectors (reference: sevenn/nn/force_output.py:158-215)."""

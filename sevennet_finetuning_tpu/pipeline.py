@@ -209,6 +209,11 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
     if data_weights is not None:
         config[K.LOAD_DATASET_WITH_WEIGHTS] = True  # enables weighted loss
     structures = load_structures(config)
+    if not structures:
+        raise ValueError(
+            f'no structures loaded — check data.{K.LOAD_DATASET} '
+            f'(got: {config.get(K.LOAD_DATASET)!r})'
+        )
     if not cont.get(K.CHECKPOINT):
         setup_species(config, structures)
     tm = config[K.TYPE_MAP]

@@ -65,6 +65,7 @@ class Trainer:
             opt_params=opt_params,
         )
 
+        self.remat = config.get(K.REMAT, 'auto')
         mask = trainable_mask(spec, params)
         self.tx, self.lr_controller = build_optimizer(config, mask)
         self.opt_state = self.tx.init(params)
@@ -78,9 +79,11 @@ class Trainer:
         spec, loss_fn, tx = self.spec, self.loss_fn, self.tx
         mspecs = self.metric_specs
 
+        remat = self.remat
+
         def step(params, opt_state, batch, acc):
             def lfn(p):
-                out = apply_model(spec, p, batch, remat=True)
+                out = apply_model(spec, p, batch, remat=remat)
                 total, terms = loss_fn(p, out)
                 return total, (out, terms)
 
@@ -109,9 +112,11 @@ class Trainer:
     def _make_fisher_step(self):
         spec, loss_fn = self.spec, self.loss_fn
 
+        remat = self.remat
+
         def step(params, batch, fisher_acc, count, loss_thr):
             def lfn(p):
-                out = apply_model(spec, p, batch, remat=True)
+                out = apply_model(spec, p, batch, remat=remat)
                 total, _ = loss_fn(p, out)
                 return total
 
