@@ -11,9 +11,13 @@ Phases timed separately (same workload as bench.py):
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def timeit(fn, *args, n=30):
