@@ -12,6 +12,9 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip('torch')
+# single-threaded oracle: torch CPU parallel index_add/scatter reductions
+# are nondeterministic in summation order, which flakes fp32 force asserts
+torch.set_num_threads(1)
 
 from sevennet_finetuning_tpu import keys as K
 from sevennet_finetuning_tpu.compat.known_models import (
