@@ -116,6 +116,7 @@ DEFAULT_TRAINING_CONFIG: Dict[str, Any] = {
     },
     K.CALC_FISHER: False,
     K.LOSS_THR: -1.0,
+    K.IS_DDP: False,
     K.REHEARSAL: False,
     K.MEM_BATCH_SIZE: 1,
     K.MEM_RATIO: 1.0,
@@ -132,6 +133,7 @@ TRAINING_CONFIG_CONDITION: Dict[str, Any] = {
     K.REMAT: lambda x: x in ('auto', True, False),
     K.CALC_FISHER: bool,
     K.LOSS_THR: float,
+    K.IS_DDP: bool,
     K.REHEARSAL: bool,
     K.MEM_BATCH_SIZE: int,
     K.MEM_RATIO: float,

@@ -123,11 +123,38 @@ class GraphDataset:
         return GraphDataset(train), GraphDataset(valid)
 
 
+def _stack_shards(batches: Sequence[Dict]) -> Dict:
+    """Stack same-shape per-shard batches along a new leading axis
+    (drops per-structure host-side metadata)."""
+    out = {}
+    for k in batches[0]:
+        if k in (K.INFO, K.USER_LABEL):
+            continue
+        if k == K.DATA_WEIGHT:
+            out[k] = {
+                wk: np.stack([b[k][wk] for b in batches])
+                for wk in batches[0][k]
+            }
+        else:
+            out[k] = np.stack([b[k] for b in batches])
+    return out
+
+
 class Loader:
     """Iterable over statically-padded batches.
 
     Capacities are fixed at construction (max batch totals + headroom,
     bucketed) so every batch of an epoch compiles to the same shapes.
+
+    Data parallelism: with ``n_shards > 1`` each emitted batch is a
+    *stacked* batch with a leading shard axis of length
+    ``n_local_shards`` -- the counterpart of the reference's
+    DistributedSampler splitting (reference: sevenn/scripts/train.py:22-44):
+    every global step consumes ``batch_size * n_shards`` structures, the
+    tail is padded by cycling from the front so every shard sees the
+    same number of batches, and in multi-process runs each process
+    collates only its own ``n_local_shards`` slice (offset
+    ``shard_offset``) of the globally-shuffled order.
     """
 
     def __init__(
@@ -139,40 +166,62 @@ class Loader:
         n_node: Optional[int] = None,
         n_edge: Optional[int] = None,
         data_weights: Optional[Dict[str, Dict[str, float]]] = None,
+        n_shards: int = 1,
+        n_local_shards: Optional[int] = None,
+        shard_offset: int = 0,
     ):
         self.graphs = dataset.graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.data_weights = data_weights
+        self.n_shards = int(n_shards)
+        self.n_local_shards = (
+            self.n_shards if n_local_shards is None else int(n_local_shards)
+        )
+        self.shard_offset = int(shard_offset)
 
         if n_node is None or n_edge is None:
             nodes = np.array([len(g[K.POS]) for g in self.graphs])
             edges = np.array([g[K.EDGE_IDX].shape[1] for g in self.graphs])
-            order = np.argsort(-nodes)  # worst-case packing estimate
-            max_n = max(
-                nodes[order[i:i + batch_size]].sum()
-                for i in range(0, len(nodes), batch_size)
-            ) if len(nodes) else batch_size
-            order_e = np.argsort(-edges)
-            max_e = max(
-                edges[order_e[i:i + batch_size]].sum()
-                for i in range(0, len(edges), batch_size)
-            ) if len(edges) else batch_size
-            self.n_node = n_node or bucket_capacity(int(max_n))
-            self.n_edge = n_edge or bucket_capacity(int(max_e))
+            self.n_node = n_node or bucket_capacity(
+                self._worst_batch_total(nodes)
+            )
+            self.n_edge = n_edge or bucket_capacity(
+                self._worst_batch_total(edges)
+            )
         else:
             self.n_node = n_node
             self.n_edge = n_edge
         self.n_graph = batch_size
 
+    def _worst_batch_total(self, vals: np.ndarray) -> int:
+        """Upper bound of sum(vals[i] for i in batch) over any batch the
+        loader can emit.  With sharded cycling pad a graph may repeat
+        within one shard batch when the dataset is smaller than
+        batch_size, so the top-k bound fills missing slots with the max.
+        """
+        if len(vals) == 0:
+            return self.batch_size
+        v = np.sort(vals)[::-1]
+        if len(v) >= self.batch_size:
+            return int(v[:self.batch_size].sum())
+        return int(v.sum() + (self.batch_size - len(v)) * v[0])
+
     def __len__(self):
+        if self.n_shards > 1:
+            return math.ceil(
+                len(self.graphs) / (self.batch_size * self.n_shards)
+            )
         return math.ceil(len(self.graphs) / self.batch_size)
 
     def __iter__(self) -> Iterator[Dict]:
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.n_shards > 1:
+            yield from self._iter_sharded(order)
+            return
         for i in range(0, len(order), self.batch_size):
             chunk = [self.graphs[j] for j in order[i:i + self.batch_size]]
             batch = collate(
@@ -182,6 +231,34 @@ class Loader:
             if self.data_weights is not None:
                 batch[K.DATA_WEIGHT] = self._weights_for(chunk)
             yield batch
+
+    def _iter_sharded(self, order: np.ndarray) -> Iterator[Dict]:
+        if len(order) == 0:
+            return
+        per_step = self.batch_size * self.n_shards
+        n_steps = max(1, math.ceil(len(order) / per_step))
+        # pad by cycling so every shard gets a full batch each step
+        # (DistributedSampler semantics)
+        order = np.resize(order, n_steps * per_step)
+        for s in range(n_steps):
+            shard_batches = []
+            for d in range(self.shard_offset,
+                           self.shard_offset + self.n_local_shards):
+                lo = s * per_step + d * self.batch_size
+                chunk = [self.graphs[j]
+                         for j in order[lo:lo + self.batch_size]]
+                b = collate(
+                    chunk, n_node=self.n_node, n_edge=self.n_edge,
+                    n_graph=self.n_graph,
+                )
+                if self.data_weights is not None:
+                    b[K.DATA_WEIGHT] = self._weights_for(chunk)
+                shard_batches.append(b)
+            yield _stack_shards(shard_batches)
+
+    @property
+    def is_sharded(self) -> bool:
+        return self.n_shards > 1
 
     def _weights_for(self, chunk) -> Dict[str, np.ndarray]:
         out = {}

@@ -23,6 +23,11 @@ def cmd_train(args):
 
     model, tr, data = read_config_yaml(args.input)
     cfg = global_config(model, tr, data)
+    if getattr(args, 'distributed', False):
+        from .parallel.data_parallel import maybe_init_distributed
+
+        maybe_init_distributed()
+        cfg[K.IS_DDP] = True
     if args.calc_fisher:
         # Fisher mode: no rehearsal, batch 1, and no EWC term (the Fisher
         # artifacts are being produced, not consumed)
@@ -125,6 +130,9 @@ def main(argv=None):
     t = sub.add_parser('train', help='train or fine-tune a potential')
     t.add_argument('input', help='input.yaml')
     t.add_argument('-w', '--working-dir', default='.')
+    t.add_argument('-d', '--distributed', action='store_true',
+                   help='data-parallel training over all devices '
+                        '(multi-host when launched under a coordinator)')
     t.add_argument('-fs', '--calc-fisher', action='store_true',
                    help='estimate Fisher information then exit')
     t.set_defaults(func=cmd_train)

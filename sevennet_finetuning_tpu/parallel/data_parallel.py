@@ -11,6 +11,7 @@ dist.all_reduce of sums/counts, reference: sevenn/error_recorder.py:70-77).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, List, Optional, Sequence
 
@@ -24,6 +25,33 @@ from .. import keys as K
 from ..model.nequip import ModelSpec, apply_model
 
 DATA_AXIS = 'dp'
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a distributed
+    coordinator (the reference's dist.init_process_group('nccl') analogue,
+    reference: sevenn/main/sevenn.py:39-50).
+
+    jax.distributed.initialize() auto-detects TPU pod environments and
+    honors JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    Safe no-op for single-process runs and when already initialized.
+    """
+    import jax
+
+    env = os.environ
+    want = (
+        'JAX_COORDINATOR_ADDRESS' in env
+        or 'COORDINATOR_ADDRESS' in env
+        or env.get('TPU_WORKER_HOSTNAMES')  # TPU pod slice
+    )
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process fallback
+        return jax.process_count() > 1
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -172,13 +172,42 @@ def setup_species(config: Dict, structures: List[Structure]):
     config[K.CHEMICAL_SPECIES] = [z_to_symbol(z) for z in sorted(tm)]
 
 
-def train(config: Dict, working_dir: str = '.') -> Trainer:
-    """Full training entry (reference: sevenn/scripts/train.py:97-148)."""
+def train(config: Dict, working_dir: str = '.',
+          structures: Optional[List[Structure]] = None) -> Trainer:
+    """Full training entry (reference: sevenn/scripts/train.py:97-148).
+
+    ``structures`` optionally bypasses file loading (tests/embedding).
+    """
     os.makedirs(working_dir, exist_ok=True)
     logger = Logger(os.path.join(working_dir, 'log.sevenn'))
     logger.greeting()
     seed = config.get(K.RANDOM_SEED, 1)
     np.random.seed(seed)
+
+    # -- device mesh (data-parallel training) ------------------------------
+    # the reference's DDP path (reference: sevenn/main/sevenn.py:39-50);
+    # enabled with train.is_ddp, shards batches over every visible device
+    mesh = None
+    shard_kw: Dict = {}
+    if config.get(K.IS_DDP) and not config.get(K.CALC_FISHER):
+        import jax
+
+        from .parallel.data_parallel import make_mesh
+
+        n_dp = jax.device_count()
+        if n_dp > 1:
+            mesh = make_mesh(n_dp)
+            shard_kw = dict(
+                n_shards=n_dp,
+                n_local_shards=jax.local_device_count(),
+                shard_offset=(
+                    jax.process_index() * jax.local_device_count()
+                ),
+            )
+            logger.writeline(
+                f'data-parallel training: {n_dp} devices, '
+                f'{jax.process_count()} process(es)'
+            )
 
     # -- continue / fine-tune --------------------------------------------
     cont = config.get(K.CONTINUE, {}) or {}
@@ -208,7 +237,8 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
     data_weights = parse_dataset_weights(config)
     if data_weights is not None:
         config[K.LOAD_DATASET_WITH_WEIGHTS] = True  # enables weighted loss
-    structures = load_structures(config)
+    if structures is None:
+        structures = load_structures(config)
     if not structures:
         raise ValueError(
             f'no structures loaded — check data.{K.LOAD_DATASET} '
@@ -261,7 +291,7 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
         )
 
     trainer = Trainer(spec, params, config, fisher=fisher,
-                      opt_params=opt_params)
+                      opt_params=opt_params, mesh=mesh)
     n_par = sum(
         int(np.prod(np.shape(x)))
         for x in __import__('jax').tree_util.tree_leaves(trainer.params)
@@ -306,8 +336,9 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
     batch_size = config.get(K.BATCH_SIZE, 6)
     train_loader = Loader(train_set, batch_size,
                           shuffle=config.get(K.TRAIN_SHUFFLE, True),
-                          seed=seed, data_weights=data_weights)
-    valid_loader = Loader(valid_set, batch_size, data_weights=data_weights)
+                          seed=seed, data_weights=data_weights, **shard_kw)
+    valid_loader = Loader(valid_set, batch_size, data_weights=data_weights,
+                          **shard_kw)
 
     mem_loader = None
     if config.get(K.REHEARSAL) and config.get(K.LOAD_MEMORY):
@@ -321,7 +352,7 @@ def train(config: Dict, working_dir: str = '.') -> Trainer:
                 [mem_set.graphs[i] for i in idx[:n_keep]]
             )
         mem_loader = Loader(mem_set, config.get(K.MEM_BATCH_SIZE, 1),
-                            shuffle=True, seed=seed)
+                            shuffle=True, seed=seed, **shard_kw)
         logger.writeline(f'rehearsal memory: {len(mem_set)} structures')
 
     # -- epoch loop -------------------------------------------------------

@@ -3,9 +3,12 @@
 JAX re-design of the reference trainer (reference:
 sevenn/train/trainer.py:15-222).  One compiled step fuses forward (with
 force/stress double-backprop), loss, gradients, the optax update and the
-metric accumulator update.  Data parallelism shards the batch over a
-device mesh; gradients and metric accumulators reduce with psum via jit's
-sharding propagation rather than framework-level DDP hooks.
+metric accumulator update.  Data parallelism (the reference's DDP/NCCL
+path, reference: sevenn/train/trainer.py:17-28, sevenn/error_recorder.py:70-77)
+shards a stacked batch over a device mesh: each device computes its
+shard's loss/grads/metric partials, XLA's sharding propagation inserts
+the all-reduces (grad mean, metric-accumulator sum) -- no framework-level
+DDP hooks.
 """
 
 from __future__ import annotations
@@ -17,9 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import keys as K
 from ..model.nequip import ModelSpec, apply_model, trainable_mask
+from ..parallel.data_parallel import DATA_AXIS
 from .loss import LossSpec, build_loss_fn, loss_specs_from_config
 from .metrics import (
     MetricSpec,
@@ -37,6 +42,20 @@ def _device_batch(batch: Dict) -> Dict:
         for k, v in batch.items()
         if k not in (K.INFO, K.USER_LABEL)
     }
+
+
+def _dp_update_acc(mspecs, acc, outs, termss, totals):
+    """Add each shard's metric partials (computed from zero) to the
+    running accumulators; the vmap-axis sum becomes a psum when the axis
+    is sharded (reference's dist.all_reduce of sums/counts, reference:
+    sevenn/error_recorder.py:70-77)."""
+    def upd(out, terms, total):
+        return update_accumulators(
+            mspecs, init_accumulators(mspecs), out, terms, total
+        )
+
+    per_dev = jax.vmap(upd)(outs, termss, totals)
+    return {k: acc[k] + jnp.sum(per_dev[k], axis=0) for k in acc}
 
 
 class Trainer:
@@ -70,8 +89,25 @@ class Trainer:
         self.tx, self.lr_controller = build_optimizer(config, mask)
         self.opt_state = self.tx.init(params)
 
-        self._train_step = jax.jit(self._make_train_step())
-        self._eval_step = jax.jit(self._make_eval_step())
+        # data-parallel mode: a mesh with >1 device switches the train /
+        # eval steps to stacked-batch variants sharded over DATA_AXIS
+        self.dp = mesh is not None and mesh.devices.size > 1
+        if self.dp:
+            repl = NamedSharding(mesh, P())
+            self._dp_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            self._train_step = jax.jit(
+                self._make_dp_train_step(),
+                in_shardings=(repl, repl, self._dp_sharding, repl),
+                out_shardings=(repl, repl, repl),
+            )
+            self._eval_step = jax.jit(
+                self._make_dp_eval_step(),
+                in_shardings=(repl, self._dp_sharding, repl),
+                out_shardings=(repl, None),
+            )
+        else:
+            self._train_step = jax.jit(self._make_train_step())
+            self._eval_step = jax.jit(self._make_eval_step())
         self._fisher_step = jax.jit(self._make_fisher_step())
 
     # -- step builders ----------------------------------------------------
@@ -109,6 +145,51 @@ class Trainer:
 
         return step
 
+    def _make_dp_train_step(self):
+        """Stacked-batch train step: vmap over the leading shard axis;
+        grads are the mean of per-shard grads (DDP semantics) and metric
+        accumulators add the sum of per-shard partials -- both reduce
+        over the mesh via jit's sharding propagation."""
+        spec, loss_fn, tx = self.spec, self.loss_fn, self.tx
+        mspecs = self.metric_specs
+        remat = self.remat
+
+        def step(params, opt_state, stacked, acc):
+            def lfn(p):
+                def per_dev(b):
+                    out = apply_model(spec, p, b, remat=remat)
+                    total, terms = loss_fn(p, out)
+                    return total, (out, terms)
+
+                totals, (outs, termss) = jax.vmap(per_dev)(stacked)
+                return jnp.mean(totals), (outs, termss, totals)
+
+            (_, (outs, termss, totals)), grads = jax.value_and_grad(
+                lfn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            acc = _dp_update_acc(mspecs, acc, outs, termss, totals)
+            return params, opt_state, acc
+
+        return step
+
+    def _make_dp_eval_step(self):
+        spec, loss_fn = self.spec, self.loss_fn
+        mspecs = self.metric_specs
+
+        def step(params, stacked, acc):
+            def per_dev(b):
+                out = apply_model(spec, params, b)
+                total, terms = loss_fn(params, out)
+                return total, (out, terms)
+
+            totals, (outs, termss) = jax.vmap(per_dev)(stacked)
+            acc = _dp_update_acc(mspecs, acc, outs, termss, totals)
+            return acc, outs
+
+        return step
+
     def _make_fisher_step(self):
         spec, loss_fn = self.spec, self.loss_fn
 
@@ -129,6 +210,26 @@ class Trainer:
 
         return step
 
+    # -- batch placement --------------------------------------------------
+    def _place_batch(self, batch: Dict) -> Dict:
+        """Host batch -> device arrays; in dp mode the stacked leading
+        axis is sharded over the mesh (multi-process runs assemble the
+        global array from each process's local shards)."""
+        if not self.dp:
+            return _device_batch(batch)
+        batch = {
+            k: v for k, v in batch.items()
+            if k not in (K.INFO, K.USER_LABEL)
+        }
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self._dp_sharding, np.asarray(x)
+                ),
+                batch,
+            )
+        return jax.device_put(batch, self._dp_sharding)
+
     # -- epoch drivers ----------------------------------------------------
     def run_one_epoch(
         self,
@@ -137,7 +238,7 @@ class Trainer:
     ) -> Dict[str, float]:
         acc = init_accumulators(self.metric_specs)
         for batch in loader:
-            batch = _device_batch(batch)
+            batch = self._place_batch(batch)
             if is_train:
                 self.params, self.opt_state, acc = self._train_step(
                     self.params, self.opt_state, batch, acc
@@ -159,7 +260,7 @@ class Trainer:
         mem_acc = init_accumulators(self.metric_specs)
         mem_iter = iter(memloader)
         for batch in loader:
-            batch = _device_batch(batch)
+            batch = self._place_batch(batch)
             if is_train:
                 self.params, self.opt_state, acc = self._train_step(
                     self.params, self.opt_state, batch, acc
@@ -172,7 +273,7 @@ class Trainer:
             except StopIteration:
                 mem_iter = iter(memloader)
                 mem_batch = next(mem_iter)
-            mem_batch = _device_batch(mem_batch)
+            mem_batch = self._place_batch(mem_batch)
             if is_train:
                 self.params, self.opt_state, mem_acc = self._train_step(
                     self.params, self.opt_state, mem_batch, mem_acc
