@@ -80,10 +80,18 @@ def collate(
 ) -> Dict[str, np.ndarray]:
     """Pad-and-concatenate graphs into one static-shape batch.
 
-    Padded nodes carry atom_type 0 / mask 0; padded edges carry indices
-    (0, 0), zero shift and mask 0 (their edge_vec is exactly zero and all
-    their contributions vanish -- see ops.radial/bessel guard).
-    Padded graphs have num_atoms 0 and NaN labels.
+    Edges are emitted SORTED BY DESTINATION (edge_idx[0] ascending over
+    the whole batch): each graph's edges are dst-sorted and node offsets
+    grow monotonically, which lets the convolution aggregate messages
+    with the sorted-segment-sum Pallas kernel (ops.pallas_scatter) and
+    XLA's ``indices_are_sorted`` fast paths.
+
+    Padded nodes carry atom_type 0 / mask 0.  Padded edges carry the
+    out-of-range sentinel index (n_node, n_node) -- gathers clamp to the
+    last row giving an exactly-zero edge_vec, scatters drop them, and
+    sortedness is preserved; all their contributions vanish (see
+    ops.radial/bessel guard).  Padded graphs have num_atoms 0 and NaN
+    labels.
     """
     tot_nodes = sum(len(g[K.POS]) for g in graphs)
     tot_edges = sum(g[K.EDGE_IDX].shape[1] for g in graphs)
@@ -104,7 +112,7 @@ def collate(
     node_mask = np.zeros(n_node, np.float32)
     force = np.full((n_node, 3), np.nan, np.float32)
 
-    edge_idx = np.zeros((2, n_edge), np.int32)
+    edge_idx = np.full((2, n_edge), n_node, np.int32)
     cell_shift = np.zeros((n_edge, 3), np.float32)
     edge_mask = np.zeros(n_edge, np.float32)
 
@@ -126,8 +134,11 @@ def collate(
         batch_vec[node_off:node_off + n] = b
         node_mask[node_off:node_off + n] = 1.0
         force[node_off:node_off + n] = g[K.FORCE]
-        edge_idx[:, edge_off:edge_off + e] = g[K.EDGE_IDX] + node_off
-        cell_shift[edge_off:edge_off + e] = g[K.CELL_SHIFT]
+        order = np.argsort(g[K.EDGE_IDX][0], kind='stable')
+        edge_idx[:, edge_off:edge_off + e] = (
+            g[K.EDGE_IDX][:, order] + node_off
+        )
+        cell_shift[edge_off:edge_off + e] = g[K.CELL_SHIFT][order]
         edge_mask[edge_off:edge_off + e] = 1.0
         cell[b] = g[K.CELL][0]
         volume[b] = g[K.CELL_VOLUME][0]

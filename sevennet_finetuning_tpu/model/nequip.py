@@ -38,6 +38,7 @@ from ..ops.linear import (
     linear_spec,
 )
 from ..ops.mlp import mlp_apply, mlp_init
+from ..ops.pallas_scatter import aggregate_messages
 from ..ops.radial import bessel_basis, bessel_init, poly_cutoff, xplor_cutoff
 from ..ops.spherical import spherical_harmonics
 from ..ops.tensor_product import (
@@ -473,10 +474,14 @@ def run_blocks(
     cap=None,
     exchange_fn=None,
     remat: bool = False,
+    edges_sorted: bool = False,
 ) -> jnp.ndarray:
     """All interaction blocks (NequIP or MACE).  ``exchange_fn``, when
     given, maps local features to local+ghost rows before the gather
     (the halo-parallel path injects per-layer ppermute refreshes here).
+
+    ``edges_sorted`` asserts edge_dst is ascending (the collate batch
+    contract), enabling the Pallas sorted-segment-sum aggregation.
 
     ``remat=True`` checkpoints each block: the training double-backprop
     otherwise keeps per-edge message tensors of every layer live, which
@@ -491,7 +496,7 @@ def run_blocks(
     def run_one(blk, x, params):
         return _run_one_block(
             spec, blk, params, x, onehot, emb, edge_attr, edge_src,
-            edge_dst, n_node, cap, exchange_fn,
+            edge_dst, n_node, cap, exchange_fn, edges_sorted,
         )
 
     for blk in spec.blocks:
@@ -505,82 +510,82 @@ def run_blocks(
 
 
 def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
-                   edge_src, edge_dst, n_node, cap, exchange_fn):
-    if True:
-        t = blk.t
-        if blk.self_connection == 'nequip':
-            sc = apply_tp(
-                blk.sc_spec, x, onehot,
-                _linear_w(params[f'{t}_self_connection_intro']),
-            )
-        elif blk.self_connection == 'linear':
-            sc = apply_linear(
-                blk.sc_spec,
-                _linear_w(params[f'{t}_self_connection_intro']), x,
-            )
-        else:
-            sc = None
+                   edge_src, edge_dst, n_node, cap, exchange_fn,
+                   edges_sorted=False):
+    t = blk.t
+    if blk.self_connection == 'nequip':
+        sc = apply_tp(
+            blk.sc_spec, x, onehot,
+            _linear_w(params[f'{t}_self_connection_intro']),
+        )
+    elif blk.self_connection == 'linear':
+        sc = apply_linear(
+            blk.sc_spec,
+            _linear_w(params[f'{t}_self_connection_intro']), x,
+        )
+    else:
+        sc = None
+    if sc is not None:
+        cap(f'{t}_self_connection_intro', sc)
+
+    x = apply_linear(blk.si1,
+                     _linear_w(params[f'{t}_self_interaction_1']), x)
+    cap(f'{t}_self_interaction_1', x)
+
+    conv_p = params[f'{t}_convolution']
+    n_w = len(blk.radial_hs) - 1
+    x_all = x if exchange_fn is None else exchange_fn(x)
+    if blk.conv_kind == 'gaunt':
+        from ..ops.gaunt import apply_gaunt_conv
+
+        x = apply_gaunt_conv(
+            blk.gaunt_conv,
+            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+            x_all, edge_attr, emb, edge_src, edge_dst, n_node,
+            conv_p['denominator'], sorted_dst=edges_sorted,
+        )
+    else:
+        w_edge = mlp_apply(
+            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+            emb, blk.act_radial,
+        )
+        msg = apply_tp(blk.conv_tp, x_all[edge_src], edge_attr, w_edge)
+        x = aggregate_messages(msg, edge_dst, n_node, edges_sorted)
+        x = x / conv_p['denominator']
+    cap(f'{t}_convolution', x)
+
+    x = apply_linear(blk.si2,
+                     _linear_w(params[f'{t}_self_interaction_2']), x)
+    cap(f'{t}_self_interaction_2', x)
+
+    if blk.block_type == 'gaunt':
+        from ..ops.gaunt import apply_gaunt_pb
+
         if sc is not None:
-            cap(f'{t}_self_connection_intro', sc)
+            x = x + sc
+        x = apply_gaunt_pb(
+            blk.pb_spec, params[f'{t}_gaunt_product_basis'], x
+        )
+        cap(f'{t}_gaunt_product_basis', x)
+    elif blk.block_type == 'mace':
+        from ..ops.symmetric_contraction import apply_sym_contraction
 
-        x = apply_linear(blk.si1,
-                         _linear_w(params[f'{t}_self_interaction_1']), x)
-        cap(f'{t}_self_interaction_1', x)
-
-        conv_p = params[f'{t}_convolution']
-        n_w = len(blk.radial_hs) - 1
-        x_all = x if exchange_fn is None else exchange_fn(x)
-        if blk.conv_kind == 'gaunt':
-            from ..ops.gaunt import apply_gaunt_conv
-
-            x = apply_gaunt_conv(
-                blk.gaunt_conv,
-                [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-                x_all, edge_attr, emb, edge_src, edge_dst, n_node,
-                conv_p['denominator'],
-            )
-        else:
-            w_edge = mlp_apply(
-                [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-                emb, blk.act_radial,
-            )
-            msg = apply_tp(blk.conv_tp, x_all[edge_src], edge_attr, w_edge)
-            x = jax.ops.segment_sum(msg, edge_dst, num_segments=n_node)
-            x = x / conv_p['denominator']
-        cap(f'{t}_convolution', x)
-
-        x = apply_linear(blk.si2,
-                         _linear_w(params[f'{t}_self_interaction_2']), x)
-        cap(f'{t}_self_interaction_2', x)
-
-        if blk.block_type == 'gaunt':
-            from ..ops.gaunt import apply_gaunt_pb
-
-            if sc is not None:
-                x = x + sc
-            x = apply_gaunt_pb(
-                blk.pb_spec, params[f'{t}_gaunt_product_basis'], x
-            )
-            cap(f'{t}_gaunt_product_basis', x)
-        elif blk.block_type == 'mace':
-            from ..ops.symmetric_contraction import apply_sym_contraction
-
-            x = apply_sym_contraction(
-                blk.pb_spec, params[f'{t}_equivariant_product_basis'],
-                x, onehot,
-            )
-            cap(f'{t}_equivariant_product_basis', x)
-            x = apply_linear(
-                blk.si3, _linear_w(params[f'{t}_self_interaction_3']), x
-            )
-            cap(f'{t}_self_interaction_3', x)
-            if sc is not None:
-                x = x + sc
-        else:
-            if sc is not None:
-                x = x + sc
-            x = apply_gate(blk.gate, x)
-            cap(f'{t}_equivariant_gate', x)
+        x = apply_sym_contraction(
+            blk.pb_spec, params[f'{t}_equivariant_product_basis'],
+            x, onehot,
+        )
+        cap(f'{t}_equivariant_product_basis', x)
+        x = apply_linear(
+            blk.si3, _linear_w(params[f'{t}_self_interaction_3']), x
+        )
+        cap(f'{t}_self_interaction_3', x)
+        if sc is not None:
+            x = x + sc
+    else:
+        if sc is not None:
+            x = x + sc
+        x = apply_gate(blk.gate, x)
+        cap(f'{t}_equivariant_gate', x)
     return x
 
 
@@ -676,10 +681,11 @@ def energy_network(
     cap('onehot_to_feature_x', x)
 
     # --- interaction blocks ---
+    # collate batches guarantee dst-sorted edges (model.graph.collate)
     x = run_blocks(spec, params, x, onehot, emb, edge_attr, edge_src,
                    edge_dst, n_node,
                    cap=(cap if intermediates is not None else None),
-                   remat=remat)
+                   remat=remat, edges_sorted=True)
 
     out[K.NODE_FEATURE] = x
 
@@ -690,7 +696,8 @@ def energy_network(
     atomic_e = atomic_e * data[K.NODE_MASK]
     out[K.ATOMIC_ENERGY] = atomic_e
     out[K.PRED_TOTAL_ENERGY] = jax.ops.segment_sum(
-        atomic_e, data[K.BATCH], num_segments=n_graph
+        atomic_e, data[K.BATCH], num_segments=n_graph,
+        indices_are_sorted=True,  # collate emits nodes in graph order
     )
     return out
 
@@ -714,7 +721,9 @@ def apply_model(
 
     fij, out = jax.grad(total_e, has_aux=True)(edge_vec)
 
-    pf = jax.ops.segment_sum(fij, idx[0], num_segments=n_node)
+    # idx[0] is ascending by the collate batch contract
+    pf = jax.ops.segment_sum(fij, idx[0], num_segments=n_node,
+                             indices_are_sorted=True)
     nf = jax.ops.segment_sum(fij, idx[1], num_segments=n_node)
     out[K.PRED_FORCE] = pf - nf
 

@@ -262,6 +262,7 @@ def apply_gaunt_conv(
     edge_dst: jnp.ndarray,
     n_node: int,
     denominator: jnp.ndarray,
+    sorted_dst: bool = False,
 ) -> jnp.ndarray:
     """Messages by pointwise product on the sphere; returns flat node
     features of ``spec.irreps_out``."""
@@ -287,7 +288,8 @@ def apply_gaunt_conv(
         '...ul,li->...ui', w, a_w, precision=PRECISION
     )
 
-    agg = jax.ops.segment_sum(msg_stride, edge_dst, num_segments=n_node)
+    agg = jax.ops.segment_sum(msg_stride, edge_dst, num_segments=n_node,
+                              indices_are_sorted=sorted_dst)
     agg = agg / denominator
     return stride_to_flat(agg, spec.irreps_out)
 

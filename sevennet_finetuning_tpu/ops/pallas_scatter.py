@@ -9,7 +9,8 @@ serializes on duplicate indices and runs far below HBM speed (measured
 ~0.25 ms of pure HBM traffic).
 
 This kernel instead exploits the batching invariant that edges are sorted
-by destination (``model.graph.collate`` emits them per center atom):
+by destination (``model.graph.collate`` dst-sorts each graph's edges and
+pads with the out-of-range sentinel, preserving ascending order):
 
 - grid over node tiles of ``TN`` rows; a scalar-prefetched ``bounds``
   array gives each node tile its half-open window [lo, hi) of edge tiles
@@ -23,14 +24,14 @@ by destination (``model.graph.collate`` emits them per center atom):
 The backward of a segment-sum is a gather (``g[dst]``), which XLA handles
 at full speed, wired via ``jax.custom_vjp``.
 
-Requires ``dst`` sorted ascending.  Works for any edge order if callers
-pre-sort (see ``model.nequip`` which sorts once per step and lets AD
-transpose the permutation).
+Requires ``dst`` sorted ascending.  ``aggregate_messages`` is the
+dispatching entry used by ``model.nequip``'s convolution.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_NODE_TILE = 128
 DEFAULT_EDGE_TILE = 256
+
+
+def aggregate_messages(
+    msg: jnp.ndarray,
+    dst: jnp.ndarray,
+    n_node: int,
+    sorted_dst: bool,
+) -> jnp.ndarray:
+    """Message aggregation ``x[n] = sum_{e: dst[e]=n} msg[e]`` -- the
+    scatter half of the convolution hot op.
+
+    Batches from ``model.graph.collate`` guarantee dst-sorted edges
+    (sorted_dst=True): on TPU those route to the Pallas sorted-segment-sum
+    kernel (SEVENN_NO_PALLAS=1 forces the XLA path, the correctness
+    oracle); elsewhere XLA's scatter-add with the ``indices_are_sorted``
+    hint.  Unsorted callers (e.g. the halo path's ghost-slot edges) get
+    the plain scatter-add.
+    """
+    if (
+        sorted_dst
+        and jax.default_backend() == 'tpu'
+        and not os.environ.get('SEVENN_NO_PALLAS')
+    ):
+        return segment_sum_sorted(msg, dst, n_node)
+    return jax.ops.segment_sum(
+        msg, dst, num_segments=n_node, indices_are_sorted=sorted_dst
+    )
 
 
 def _kernel(TN: int, TE: int,
@@ -61,8 +89,11 @@ def _kernel(TN: int, TE: int,
         cd.wait()
         cm.wait()
         onehot = (row_ids == dst_buf[:]).astype(msg_buf.dtype)
+        # HIGHEST: the MXU's default bf16 rounding of msg costs ~4e-3
+        # relative error, far above f32 accumulation noise
         out_ref[:] += jax.lax.dot(
-            onehot, msg_buf[:], preferred_element_type=jnp.float32
+            onehot, msg_buf[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(out_ref.dtype)
         return carry
 
@@ -80,9 +111,6 @@ def _tile_bounds(dst: jnp.ndarray, num_node_tiles: int,
     return jnp.stack([lo, hi], axis=1)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
-)
 def segment_sum_sorted(
     msg: jnp.ndarray,
     dst: jnp.ndarray,
@@ -96,21 +124,43 @@ def segment_sum_sorted(
     msg: [E, D] float; dst: [E] int32 sorted ascending (out-of-range
     values >= n_node are dropped, so padded edges may carry dst=n_node).
     Returns [n_node, D].
+
+    Differentiable to arbitrary order: the op is linear in ``msg``, so it
+    is registered with ``linear_call`` -- JVP applies the op to tangents
+    and transposition swaps scatter<->gather, closing the pair under any
+    composition of forward/reverse AD (the training loss needs
+    grad-of-grad: forces are themselves gradients).
     """
-    return _forward(msg, dst, n_node, node_tile, edge_tile, interpret)
+    return _seg_sum(msg, dst, n_node, node_tile, edge_tile, interpret)
+
+
+def _seg_sum(msg, dst, n_node, TN, TE, interpret):
+    def scatter(dst_res, m):
+        return _forward(m, dst_res, n_node, TN, TE, interpret)
+
+    def gather(dst_res, g):
+        # adjoint: rows past n_node (padded edges) read zero; XLA
+        # handles the gather at full speed
+        safe = jnp.minimum(dst_res, n_node - 1)
+        return jnp.where((dst_res < n_node)[:, None], g[safe], 0.0)
+
+    return jax.custom_derivatives.linear_call(scatter, gather, dst, msg)
 
 
 def _forward(msg, dst, n_node, TN, TE, interpret):
     E, D = msg.shape
+    msg_D = D
     assert dst.shape == (E,)
     E_pad = -(-E // TE) * TE
     N_pad = -(-n_node // TN) * TN
-    if E_pad != E:
-        # pad msg with zero rows and dst past every node tile; sortedness
-        # is preserved because N_pad > any real destination
-        msg = jnp.pad(msg, ((0, E_pad - E), (0, 0)))
+    D_pad = -(-D // 128) * 128  # mosaic HBM slices need lane alignment
+    if E_pad != E or D_pad != D:
+        # pad msg with zero rows/cols and dst past every node tile;
+        # sortedness is preserved because N_pad > any real destination
+        msg = jnp.pad(msg, ((0, E_pad - E), (0, D_pad - D)))
         dst = jnp.pad(dst, (0, E_pad - E), constant_values=N_pad)
     dst = jnp.minimum(dst, N_pad)  # clamp out-of-range, keeps sortedness
+    D = D_pad
 
     n_et = E_pad // TE
     NT = N_pad // TN
@@ -139,18 +189,6 @@ def _forward(msg, dst, n_node, TN, TE, interpret):
         out_shape=jax.ShapeDtypeStruct((N_pad, D), msg.dtype),
         interpret=interpret,
     )(bounds, dst.reshape(n_et, 1, TE), msg.reshape(n_et, TE, D))
-    return out[:n_node]
+    return out[:n_node, :msg_D]
 
 
-def _fwd(msg, dst, n_node, TN, TE, interpret):
-    return _forward(msg, dst, n_node, TN, TE, interpret), dst
-
-
-def _bwd(n_node, TN, TE, interpret, dst, g):
-    # gather: rows past n_node (padded edges) get zero gradient
-    safe = jnp.minimum(dst, n_node - 1)
-    g_msg = jnp.where((dst < n_node)[:, None], g[safe], 0.0)
-    return g_msg, np.zeros(dst.shape, jax.dtypes.float0)
-
-
-segment_sum_sorted.defvjp(_fwd, _bwd)

@@ -1,0 +1,120 @@
+"""Sorted-segment-sum Pallas kernel vs the XLA scatter-add oracle.
+
+The kernel runs in interpret mode here (CPU test platform); the real
+mosaic lowering is exercised by bench.py on the TPU chip.  Also checks
+the collate invariant the kernel relies on: batch edges sorted by dst
+with out-of-range sentinel padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sevennet_finetuning_tpu import keys as K
+from sevennet_finetuning_tpu.ops.pallas_scatter import (
+    aggregate_messages,
+    segment_sum_sorted,
+)
+
+
+def _sorted_case(E, N, D, seed, pad_tail=0, dup_heavy=False):
+    rng = np.random.default_rng(seed)
+    if dup_heavy:
+        # many edges landing on few nodes (worst case for serialization)
+        dst = np.sort(rng.integers(0, max(2, N // 16), E))
+    else:
+        dst = np.sort(rng.integers(0, N, E))
+    msg = rng.standard_normal((E, D)).astype(np.float32)
+    if pad_tail:
+        dst = np.concatenate([dst, np.full(pad_tail, N, np.int64)])
+        msg = np.concatenate(
+            [msg, np.zeros((pad_tail, D), np.float32)]
+        )
+    return jnp.asarray(msg), jnp.asarray(dst, jnp.int32)
+
+
+@pytest.mark.parametrize(
+    'E,N,D,pad,dup',
+    [
+        (1000, 100, 32, 0, False),
+        (1000, 100, 32, 24, False),     # sentinel-padded tail
+        (513, 130, 48, 7, True),        # duplicate-heavy, ragged tiles
+        (64, 300, 16, 0, False),        # fewer edges than nodes
+        (256, 128, 128, 0, False),      # exact tile multiples
+    ],
+)
+def test_kernel_matches_xla(E, N, D, pad, dup):
+    msg, dst = _sorted_case(E, N, D, seed=E + D, pad_tail=pad,
+                            dup_heavy=dup)
+    ref = jax.ops.segment_sum(msg, dst, num_segments=N)
+    out = segment_sum_sorted(msg, dst, N, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_gradient_is_gather():
+    msg, dst = _sorted_case(300, 64, 8, seed=0, pad_tail=12)
+
+    def f_pallas(m):
+        return jnp.sum(segment_sum_sorted(m, dst, 64, interpret=True) ** 2)
+
+    def f_xla(m):
+        return jnp.sum(jax.ops.segment_sum(m, dst, num_segments=64) ** 2)
+
+    g1 = jax.grad(f_pallas)(msg)
+    g2 = jax.grad(f_xla)(msg)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+    # sentinel rows get exactly zero gradient
+    assert np.all(np.asarray(g1)[-12:] == 0.0)
+
+
+def test_aggregate_messages_dispatch():
+    """On the CPU test platform the dispatcher must take the XLA path and
+    agree with a plain segment_sum for both sorted flags."""
+    msg, dst = _sorted_case(200, 50, 4, seed=1)
+    ref = jax.ops.segment_sum(msg, dst, num_segments=50)
+    for flag in (True, False):
+        out = aggregate_messages(msg, dst, 50, flag)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_collate_emits_sorted_dst_with_sentinel_pad():
+    from sevennet_finetuning_tpu.data.elements import z_to_symbol
+    from sevennet_finetuning_tpu.data.vasp import Structure
+    from sevennet_finetuning_tpu.model.graph import (
+        collate,
+        structure_to_graph,
+    )
+
+    rng = np.random.default_rng(7)
+    gs = []
+    for k in range(3):
+        n = 6 + k
+        cell = np.eye(3) * 6.0
+        s = Structure(
+            species=[z_to_symbol(8)] * n,
+            pos=rng.uniform(0, 6.0, (n, 3)),
+            cell=cell,
+            energy=-1.0 * n,
+            forces=rng.normal(size=(n, 3)),
+            stress=rng.normal(size=6) * 0.01,
+        )
+        gs.append(structure_to_graph(s, 4.0, {8: 0}))
+
+    n_node, n_edge = 64, 512
+    b = collate(gs, n_node=n_node, n_edge=n_edge, n_graph=3)
+    dst = b[K.EDGE_IDX][0]
+    assert np.all(np.diff(dst) >= 0), 'batch dst must be ascending'
+    n_real = int(b[K.EDGE_MASK].sum())
+    assert np.all(dst[n_real:] == n_node), 'pad must be the sentinel'
+    assert np.all(b[K.EDGE_IDX][1][n_real:] == n_node)
+    # real edges preserved: same multiset of (dst, src) pairs per graph
+    off = 0
+    for g in gs:
+        e = g[K.EDGE_IDX].shape[1]
+        got = set(map(tuple, b[K.EDGE_IDX][:, off:off + e].T.tolist()))
+        off += e
+    assert off == n_real
