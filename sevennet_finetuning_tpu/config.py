@@ -19,7 +19,7 @@ from . import keys as K
 IMPLEMENTED_RADIAL_BASIS = ['bessel']
 IMPLEMENTED_CUTOFF_FUNCTION = ['poly_cut', 'XPLOR']
 IMPLEMENTED_SELF_CONNECTION_TYPE = ['nequip', 'linear', 'none']
-IMPLEMENTED_INTERACTION_TYPE = ['nequip']
+IMPLEMENTED_INTERACTION_TYPE = ['nequip', 'mace', 'gaunt', 'gaunt_gate']
 IMPLEMENTED_SHIFT = ['per_atom_energy_mean', 'elemwise_reference_energies']
 IMPLEMENTED_SCALE = ['force_rms', 'per_atom_energy_std',
                      'elemwise_force_rms']
@@ -46,6 +46,7 @@ DEFAULT_MODEL_CONFIG: Dict[str, Any] = {
     K.READOUT_FCN_ACTIVATION: 'relu',
     K.SELF_CONNECTION_TYPE: 'nequip',
     K.INTERACTION_TYPE: 'nequip',
+    K.CORRELATION: 3,  # mace/gaunt product-basis order
     K.ACTIVATION_SCALAR: {'e': 'silu', 'o': 'tanh'},
     K.ACTIVATION_GATE: {'e': 'silu', 'o': 'tanh'},
     K._NORMALIZE_SPH: True,
@@ -80,6 +81,7 @@ MODEL_CONFIG_CONDITION: Dict[str, Any] = {
     K.ACTIVATION_RADIAL: str,
     K.SELF_CONNECTION_TYPE: lambda x: x in IMPLEMENTED_SELF_CONNECTION_TYPE,
     K.INTERACTION_TYPE: lambda x: x in IMPLEMENTED_INTERACTION_TYPE,
+    K.CORRELATION: int,
     K._NORMALIZE_SPH: bool,
 }
 
@@ -113,6 +115,10 @@ DEFAULT_TRAINING_CONFIG: Dict[str, Any] = {
         K.FISHER: False,
         K.OPT_PARAMS: False,
         K.EWC_LAMBDA: 0.0,
+        # reference nests these under continue: (reference:
+        # sevenn/_const.py:279-283); also accepted at train top level
+        K.CALC_FISHER: False,
+        K.LOSS_THR: -1.0,
     },
     K.CALC_FISHER: False,
     K.LOSS_THR: -1.0,

@@ -135,10 +135,10 @@ USE_STATISTIC_VALUES_OF_CHECKPOINT: Final[str] = (
 )
 # reEWC fine-tuning (within continue:)
 FISHER: Final[str] = 'fisher_information'
-OPT_PARAMS: Final[str] = 'optimal_params'
+OPT_PARAMS: Final[str] = 'opt_params'
 EWC_LAMBDA: Final[str] = 'ewc_lambda'
 CALC_FISHER: Final[str] = 'calc_fisher'
-LOSS_THR: Final[str] = 'loss_thr'
+LOSS_THR: Final[str] = 'loss_threshold'
 
 # rehearsal (experience replay)
 REHEARSAL: Final[str] = 'rehearsal'

@@ -187,9 +187,20 @@ def train(config: Dict, working_dir: str = '.',
     # -- device mesh (data-parallel training) ------------------------------
     # the reference's DDP path (reference: sevenn/main/sevenn.py:39-50);
     # enabled with train.is_ddp, shards batches over every visible device
+    # calc_fisher / loss_threshold live under continue: in reference
+    # yamls (reference: sevenn/_const.py:279-283) but are also accepted
+    # at the train top level
+    _cont0 = config.get(K.CONTINUE) or {}
+    calc_fisher = bool(
+        config.get(K.CALC_FISHER) or _cont0.get(K.CALC_FISHER)
+    )
+    loss_thr = float(
+        config.get(K.LOSS_THR, _cont0.get(K.LOSS_THR, -1.0)) or -1.0
+    )
+
     mesh = None
     shard_kw: Dict = {}
-    if config.get(K.IS_DDP) and not config.get(K.CALC_FISHER):
+    if config.get(K.IS_DDP) and not calc_fisher:
         import jax
 
         from .parallel.data_parallel import make_mesh
@@ -214,8 +225,13 @@ def train(config: Dict, working_dir: str = '.',
     cp_blob = None
     cp_stats = None
     if cont.get(K.CHECKPOINT):
-        logger.writeline(f'continuing from {cont[K.CHECKPOINT]}')
-        cp_blob = load_checkpoint(cont[K.CHECKPOINT])
+        cp_path = cont[K.CHECKPOINT]
+        if not os.path.exists(cp_path):
+            from .compat.known_models import pretrained_name_to_path
+
+            cp_path = pretrained_name_to_path(cp_path)
+        logger.writeline(f'continuing from {cp_path}')
+        cp_blob = load_checkpoint(cp_path)
         cp_config = cp_blob['config']
         # architecture keys must come from the checkpoint
         for key in (
@@ -318,11 +334,11 @@ def train(config: Dict, working_dir: str = '.',
             )
 
     # -- fisher-only mode -------------------------------------------------
-    if config.get(K.CALC_FISHER):
+    if calc_fisher:
         logger.writeline('computing Fisher information (batch size 1)')
         loader = Loader(train_set, batch_size=1)
         fisher_mat, opt_p, count = trainer.compute_fisher_matrix(
-            loader, float(config.get(K.LOSS_THR, -1.0))
+            loader, loss_thr
         )
         save_pytree(os.path.join(working_dir, 'fisher_sevenn.pt'),
                     fisher_mat)

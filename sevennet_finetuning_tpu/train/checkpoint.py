@@ -44,6 +44,25 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> Dict:
+    """Load a checkpoint -- ours (pickle) or a reference torch .pth.
+
+    Reference training checkpoints (torch.save zip archives, reference:
+    sevenn/train/trainer.py:98-107) are detected by magic bytes and
+    translated through the state-dict importer, so
+    ``continue: checkpoint: <reference .pth>`` works unchanged."""
+    with open(path, 'rb') as f:
+        magic = f.read(2)
+    if magic == b'PK':
+        from ..compat.state_dict_import import import_reference_checkpoint
+
+        _, params, config, epoch = import_reference_checkpoint(path)
+        return {
+            'model_state_dict': params,
+            'config': config,
+            'epoch': epoch,
+            'optimizer_state_dict': None,
+            'scheduler_state_dict': None,
+        }
     with open(path, 'rb') as f:
         return pickle.load(f)
 

@@ -136,7 +136,57 @@ class ReduceLROnPlateau(LRController):
                 self.num_bad = 0
 
 
+class CosineAnnealingWarmupRestarts(LRController):
+    """Warmup + cosine decay with warm restarts, matching the external
+    ``cosine_annealing_warmup`` package the reference registers as
+    'cosineannealingwarmuplr' (reference: sevenn/train/optim.py:4,23) --
+    the scheduler of the shipped fine-tune recipe
+    (example_inputs/fine_tuning/FT_w_reEWC/input_full.yaml).
+
+    Per cycle: LR ramps linearly min_lr -> max_lr over ``warmup_steps``,
+    then cosine-decays back to min_lr over the cycle remainder; cycle
+    length multiplies by ``cycle_mult`` and max_lr by ``gamma`` at each
+    restart.  The optimizer's own lr is ignored, as in the reference."""
+
+    def __init__(self, base_lr, first_cycle_steps: int,
+                 cycle_mult: float = 1.0, max_lr: float = 0.1,
+                 min_lr: float = 0.001, warmup_steps: int = 0,
+                 gamma: float = 1.0):
+        assert warmup_steps < first_cycle_steps
+        self.first_cycle_steps = int(first_cycle_steps)
+        self.cycle_mult = float(cycle_mult)
+        self.max_lr = float(max_lr)
+        self.min_lr = float(min_lr)
+        self.warmup_steps = int(warmup_steps)
+        self.gamma = float(gamma)
+        super().__init__(base_lr)
+        self.lr = self._lr_at(0)
+
+    def _lr_at(self, epoch):
+        n = epoch
+        cycle = 0
+        cycle_steps = self.first_cycle_steps
+        while n >= cycle_steps:
+            n -= cycle_steps
+            cycle += 1
+            cycle_steps = int(
+                (cycle_steps - self.warmup_steps) * self.cycle_mult
+                + self.warmup_steps
+            )
+        cur_max = self.max_lr * self.gamma ** cycle
+        if n < self.warmup_steps:
+            return (cur_max - self.min_lr) * n / self.warmup_steps \
+                + self.min_lr
+        return self.min_lr + 0.5 * (cur_max - self.min_lr) * (
+            1 + math.cos(
+                math.pi * (n - self.warmup_steps)
+                / (cycle_steps - self.warmup_steps)
+            )
+        )
+
+
 SCHEDULERS = {
+    'cosineannealingwarmuplr': CosineAnnealingWarmupRestarts,
     'exponentiallr': ExponentialLR,
     'steplr': StepLR,
     'multisteplr': MultiStepLR,
