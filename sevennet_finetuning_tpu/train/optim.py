@@ -253,6 +253,16 @@ def build_optimizer(config: Dict, trainable_mask):
 
 
 def set_lr(opt_state, lr: float):
-    """Write the controller's LR into an inject_hyperparams state."""
-    opt_state.hyperparams['learning_rate'] = lr
+    """Write the controller's LR into an inject_hyperparams state.
+
+    The new value must keep the leaf's dtype/weak-type identical to the
+    one inject_hyperparams created, or the next jitted-step call sees a
+    different pytree type and retraces (a full recompile per LR change).
+    """
+    import jax.numpy as jnp
+
+    cur = opt_state.hyperparams['learning_rate']
+    opt_state.hyperparams['learning_rate'] = jnp.asarray(
+        lr, dtype=jnp.result_type(cur)
+    )
     return opt_state

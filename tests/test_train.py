@@ -173,3 +173,17 @@ def test_rehearsal_interleaves_memory(setup):
     )
     assert np.isfinite(m_train['TotalLoss_None'])
     assert np.isfinite(m_mem['TotalLoss_None'])
+
+
+def test_scheduler_step_does_not_retrace(setup):
+    """set_lr must keep the hyperparam leaf's dtype/weak-type stable:
+    a changed leaf type would recompile the whole train step every
+    LR change (a 1-8 min stall per epoch at SevenNet-0 scale)."""
+    ds, cfg = setup
+    spec = build_model_spec(cfg)
+    trainer = Trainer(spec, init_params(spec, 0), cfg)
+    loader = Loader(ds, batch_size=4)
+    for _ in range(3):
+        trainer.run_one_epoch(loader, is_train=True)
+        trainer.scheduler_step()
+    assert trainer._train_step._cache_size() == 1
