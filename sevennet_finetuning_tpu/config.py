@@ -153,7 +153,6 @@ TRAINING_CONFIG_CONDITION: Dict[str, Any] = {
 
 DEFAULT_DATA_CONFIG: Dict[str, Any] = {
     K.DATA_FORMAT: 'structure_list',
-    K.DATA_FORMAT_ARGS: {},
     K.RATIO: 0.1,
     K.BATCH_SIZE: 6,
     K.PREPROCESS_NUM_CORES: 1,

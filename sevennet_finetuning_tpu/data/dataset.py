@@ -38,12 +38,32 @@ class GraphDataset:
         cutoff: float,
         type_map: Dict[int, int],
         label: str = K.LABEL_NONE,
+        n_cores: int = 1,
     ) -> 'GraphDataset':
-        gs = []
-        for s in structures:
-            g = structure_to_graph(s, cutoff, type_map)
+        """Graph build; ``n_cores > 1`` forks a worker pool (the
+        reference's mp.Pool preprocessing, reference:
+        sevenn/train/dataload.py:174-184, config key
+        preprocess_num_cores)."""
+        if n_cores > 1 and len(structures) >= 4:
+            import functools
+            import multiprocessing as mp
+
+            # spawn, not fork: the TPU runtime's threads make forking a
+            # jax-initialized process unsafe
+            with mp.get_context('spawn').Pool(n_cores) as pool:
+                gs = pool.map(
+                    functools.partial(
+                        structure_to_graph, cutoff=cutoff,
+                        type_map=type_map,
+                    ),
+                    structures,
+                    chunksize=max(1, len(structures) // (4 * n_cores)),
+                )
+        else:
+            gs = [structure_to_graph(s, cutoff, type_map)
+                  for s in structures]
+        for g, s in zip(gs, structures):
             g[K.USER_LABEL] = s.info.get('label', label)
-            gs.append(g)
         return GraphDataset(gs)
 
     def extend(self, other: 'GraphDataset'):
@@ -121,6 +141,74 @@ class GraphDataset:
         valid = [self.graphs[i] for i in idx[:n_valid]]
         train = [self.graphs[i] for i in idx[n_valid:]]
         return GraphDataset(train), GraphDataset(valid)
+
+
+def save_sevenn_data(
+    path: str,
+    dataset: GraphDataset,
+    cutoff: float,
+    type_map: Dict[int, int],
+    structures: Optional[Sequence[Structure]] = None,
+):
+    """Write a prebuilt dataset artifact (our .sevenn_data; the
+    reference's is a torch.save of AtomGraphDataset, reference:
+    sevenn/train/dataset.py:453-465).  Stores the graphs plus (optionally)
+    the raw structures so a later load under a different cutoff/type-map
+    can rebuild instead of failing."""
+    import pickle
+
+    blob = {
+        'version': 2,
+        'cutoff': float(cutoff),
+        'type_map': {int(z): int(i) for z, i in type_map.items()},
+        'graphs': dataset.graphs,
+        'structures': list(structures) if structures is not None else None,
+    }
+    with open(path, 'wb') as f:
+        pickle.dump(blob, f)
+
+
+def load_sevenn_data(
+    path: str,
+    cutoff: Optional[float] = None,
+    type_map: Optional[Dict[int, int]] = None,
+    n_cores: int = 1,
+) -> GraphDataset:
+    """Load a .sevenn_data artifact.  Uses the stored graphs when the
+    requested cutoff/type-map match (or are unspecified); rebuilds from
+    the stored structures otherwise; errors if a rebuild is needed but
+    the artifact carries no structures."""
+    import pickle
+
+    with open(path, 'rb') as f:
+        blob = pickle.load(f)
+    stored_cut = float(blob['cutoff'])
+    stored_tm = {int(z): int(i) for z, i in blob['type_map'].items()}
+    match = (cutoff is None or abs(stored_cut - float(cutoff)) < 1e-9) \
+        and (type_map is None
+             or stored_tm == {int(z): int(i) for z, i in type_map.items()})
+    if match:
+        return GraphDataset(blob['graphs'])
+    structures = blob.get('structures')
+    if structures is None:
+        raise ValueError(
+            f'{path}: built with cutoff={stored_cut}/different type map '
+            f'and carries no structures to rebuild from '
+            f'(requested cutoff={cutoff})'
+        )
+    return GraphDataset.from_structures(
+        structures, float(cutoff if cutoff is not None else stored_cut),
+        type_map if type_map is not None else stored_tm, n_cores=n_cores,
+    )
+
+
+def sevenn_data_structures(path: str) -> Optional[List[Structure]]:
+    """The raw structures stored in an artifact (None if absent)."""
+    import pickle
+
+    with open(path, 'rb') as f:
+        blob = pickle.load(f)
+    return blob.get('structures')
 
 
 def _stack_shards(batches: Sequence[Dict]) -> Dict:

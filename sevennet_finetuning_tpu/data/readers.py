@@ -1,0 +1,132 @@
+"""Structure file readers beyond OUTCAR: POSCAR and extended XYZ.
+
+ase-free counterparts of the reference's reader matrix (reference:
+sevenn/train/dataload.py:157-300 dispatches to ase.io.read for
+poscar/xyz/anything; this module covers the formats its examples and
+docs actually use without the ase dependency).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+import numpy as np
+
+from .vasp import Structure
+
+
+def read_poscar(path: str) -> Structure:
+    """VASP POSCAR/CONTCAR (v5+: symbol line present).  Unlabeled
+    (no energy/forces) -- inference / MD input."""
+    with open(path) as f:
+        lines = [ln.rstrip('\n') for ln in f]
+    scale = float(lines[1].split()[0])
+    cell = np.array([[float(x) for x in lines[2 + k].split()[:3]]
+                     for k in range(3)])
+    if scale < 0:  # negative scale = target volume
+        vol = abs(np.linalg.det(cell))
+        scale = (-scale / vol) ** (1.0 / 3.0)
+    cell = cell * scale
+
+    symbols = lines[5].split()
+    if symbols and symbols[0].isdigit():
+        raise ValueError(
+            f'{path}: VASP4 POSCAR without symbol line is not supported'
+        )
+    counts = [int(x) for x in lines[6].split()]
+    species: List[str] = []
+    for sym, cnt in zip(symbols, counts):
+        species.extend([sym] * cnt)
+    n = len(species)
+
+    i = 7
+    if lines[i].strip() and lines[i].strip()[0] in 'sS':
+        i += 1  # selective dynamics
+    direct = lines[i].strip()[0] in 'dD'
+    i += 1
+    pos = np.array([[float(x) for x in lines[i + k].split()[:3]]
+                    for k in range(n)])
+    if direct:
+        pos = pos @ cell
+    else:
+        pos = pos * scale
+    return Structure(species=species, pos=pos, cell=cell,
+                     info={'file': path})
+
+
+_KV_RE = re.compile(
+    r'(\w+)=(?:"([^"]*)"|(\S+))'
+)
+
+
+def read_extxyz(path: str) -> List[Structure]:
+    """Extended XYZ: all frames, with Lattice / Properties / energy /
+    stress parsed from the comment line when present."""
+    out: List[Structure] = []
+    with open(path) as f:
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n = int(lines[i].split()[0])
+        comment = lines[i + 1]
+        kv = {m.group(1): (m.group(2) if m.group(2) is not None
+                           else m.group(3))
+              for m in _KV_RE.finditer(comment)}
+
+        cell = np.eye(3)
+        pbc = (False, False, False)
+        if 'Lattice' in kv:
+            vals = [float(x) for x in kv['Lattice'].split()]
+            cell = np.array(vals).reshape(3, 3)
+            pbc = (True, True, True)
+        if 'pbc' in kv:
+            pbc = tuple(t in ('T', 'True', '1') for t in kv['pbc'].split())
+
+        # column layout from Properties=species:S:1:pos:R:3:forces:R:3...
+        cols = []
+        props = kv.get('Properties', 'species:S:1:pos:R:3')
+        toks = props.split(':')
+        for k in range(0, len(toks) - 2, 3):
+            cols.append((toks[k], int(toks[k + 2])))
+
+        species: List[str] = []
+        pos = np.zeros((n, 3))
+        forces: Optional[np.ndarray] = None
+        if any(name == 'forces' for name, _ in cols):
+            forces = np.zeros((n, 3))
+        for a in range(n):
+            parts = lines[i + 2 + a].split()
+            c = 0
+            for name, width in cols:
+                if name == 'species':
+                    species.append(parts[c])
+                elif name == 'pos':
+                    pos[a] = [float(x) for x in parts[c:c + 3]]
+                elif name == 'forces' and forces is not None:
+                    forces[a] = [float(x) for x in parts[c:c + 3]]
+                c += width
+
+        energy = None
+        for ekey in ('energy', 'free_energy'):
+            if ekey in kv:
+                energy = float(kv[ekey])
+                break
+        stress = None
+        if 'stress' in kv:  # 9-component row-major, eV/A^3
+            sv = np.array([float(x) for x in kv['stress'].split()])
+            if sv.size == 9:
+                m = sv.reshape(3, 3)
+                stress = np.array([m[0, 0], m[1, 1], m[2, 2],
+                                   m[0, 1], m[1, 2], m[2, 0]])
+            elif sv.size == 6:
+                stress = sv
+        out.append(Structure(
+            species=species, pos=pos, cell=cell, pbc=pbc, energy=energy,
+            forces=forces, stress=stress, info={'file': path},
+        ))
+        i += 2 + n
+    return out

@@ -39,7 +39,9 @@ def cmd_train(args):
         cont[K.FISHER] = False
         cont[K.OPT_PARAMS] = False
         cfg[K.CONTINUE] = cont
-    # dataset paths are relative to the yaml's directory
+    # dataset + continue-artifact paths are relative to the yaml's
+    # directory (matches the reference examples' '../estimate_Fisher/..'
+    # layout, example_inputs/fine_tuning/FT_w_reEWC/input_full.yaml)
     base = os.path.dirname(os.path.abspath(args.input))
     for k in (K.LOAD_DATASET, K.LOAD_VALIDSET, K.LOAD_MEMORY):
         if cfg.get(k):
@@ -47,6 +49,12 @@ def cmd_train(args):
                 p if os.path.isabs(p) else os.path.join(base, p)
                 for p in cfg[k]
             ]
+    cont = cfg.get(K.CONTINUE) or {}
+    for k in (K.CHECKPOINT, K.FISHER, K.OPT_PARAMS):
+        p = cont.get(k)
+        if p and isinstance(p, str) and not os.path.isabs(p) \
+                and os.path.exists(os.path.join(base, p)):
+            cont[k] = os.path.join(base, p)
     train(cfg, working_dir=args.working_dir)
 
 
@@ -106,20 +114,16 @@ def cmd_inference(args):
 
 
 def cmd_graph_build(args):
-    from . import keys as K
-    from .data.dataset import GraphDataset
-    from .data.vasp import read_structure_list
+    from .data.dataset import GraphDataset, save_sevenn_data
     from .data.elements import type_map_from_species
-    import pickle
+    from .pipeline import _read_file
 
-    grouped = read_structure_list(args.source)
-    structs = [s for v in grouped.values() for s in v]
+    structs = _read_file(args.source, 'structure_list')
     tm = type_map_from_species({sp for s in structs for sp in s.species})
-    ds = GraphDataset.from_structures(structs, args.cutoff, tm)
+    ds = GraphDataset.from_structures(structs, args.cutoff, tm,
+                                      n_cores=args.num_cores)
     out = args.output or 'graph_built.sevenn_data'
-    with open(out, 'wb') as f:
-        pickle.dump({'graphs': ds.graphs, 'cutoff': args.cutoff,
-                     'type_map': tm}, f)
+    save_sevenn_data(out, ds, args.cutoff, tm, structures=structs)
     print(f'saved {len(ds)} graphs to {out}')
 
 
@@ -160,6 +164,7 @@ def main(argv=None):
     g.add_argument('source')
     g.add_argument('cutoff', type=float)
     g.add_argument('-o', '--output')
+    g.add_argument('-n', '--num-cores', type=int, default=1)
     g.set_defaults(func=cmd_graph_build)
 
     args = p.parse_args(argv)

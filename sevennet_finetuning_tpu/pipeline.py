@@ -31,32 +31,96 @@ from .train.checkpoint import (
 from .train.trainer import Trainer
 
 
-def load_structures(config: Dict, paths_key: str = K.LOAD_DATASET
-                    ) -> List[Structure]:
-    """Load labeled structures per the data config (paths may glob)."""
+def _expand_paths(config: Dict, paths_key: str) -> List[str]:
     import glob as _glob
 
-    fmt = config.get(K.DATA_FORMAT, 'structure_list')
     paths: List[str] = []
     for p in config.get(paths_key) or []:
         hits = sorted(_glob.glob(p))
         paths.extend(hits if hits else [p])
-    out: List[Structure] = []
-    for path in paths:
-        if fmt == 'structure_list' or path.endswith('structure_list'):
-            for label, structs in read_structure_list(path).items():
-                for s in structs:
-                    s.info['label'] = label
-                out.extend(structs)
-        elif 'OUTCAR' in os.path.basename(path):
-            structs = read_outcar(path)
+    return paths
+
+
+def _read_file(path: str, fmt: str) -> List[Structure]:
+    """One data file -> labeled structures, dispatched on the file name
+    first, then the configured data_format (reference reader matrix:
+    sevenn/train/dataload.py:157-300)."""
+    base = os.path.basename(path)
+    if 'structure_list' in base or fmt == 'structure_list' and \
+            not ('OUTCAR' in base or 'POSCAR' in base or 'CONTCAR' in base
+                 or base.endswith(('.xyz', '.extxyz'))):
+        out = []
+        for label, structs in read_structure_list(path).items():
             for s in structs:
-                s.info['label'] = os.path.abspath(path)
+                s.info['label'] = label
             out.extend(structs)
+        return out
+    if 'OUTCAR' in base or fmt == 'outcar':
+        structs = read_outcar(path)
+    elif 'POSCAR' in base or 'CONTCAR' in base or fmt == 'poscar':
+        from .data.readers import read_poscar
+
+        structs = [read_poscar(path)]
+    elif base.endswith(('.xyz', '.extxyz')) or fmt in ('xyz', 'extxyz'):
+        from .data.readers import read_extxyz
+
+        structs = read_extxyz(path)
+    else:
+        raise ValueError(
+            f'unsupported data file: {path} (formats: structure_list, '
+            f'OUTCAR, POSCAR, extxyz, .sevenn_data)'
+        )
+    for s in structs:
+        s.info['label'] = os.path.abspath(path)
+    return structs
+
+
+def load_structures(config: Dict, paths_key: str = K.LOAD_DATASET
+                    ) -> List[Structure]:
+    """Load labeled structures per the data config (paths may glob).
+    .sevenn_data artifacts contribute their stored structures."""
+    fmt = config.get(K.DATA_FORMAT, 'structure_list')
+    out: List[Structure] = []
+    for path in _expand_paths(config, paths_key):
+        if path.endswith('.sevenn_data'):
+            from .data.dataset import sevenn_data_structures
+
+            stored = sevenn_data_structures(path)
+            if stored is None:
+                raise ValueError(
+                    f'{path} has no stored structures; use load_dataset'
+                )
+            out.extend(stored)
         else:
-            raise ValueError(
-                f'unsupported data file (ase not available): {path}'
-            )
+            out.extend(_read_file(path, fmt))
+    return out
+
+
+def load_dataset(
+    config: Dict,
+    paths_key: str,
+    cutoff: float,
+    type_map: Dict,
+    n_cores: int = 1,
+) -> GraphDataset:
+    """Paths -> GraphDataset: raw files are graph-built (optionally in
+    parallel), .sevenn_data artifacts reuse their prebuilt graphs when
+    cutoff/type-map match and rebuild otherwise (reference dataset-load
+    path: sevenn/scripts/processing_dataset.py:146-210)."""
+    from .data.dataset import load_sevenn_data
+
+    fmt = config.get(K.DATA_FORMAT, 'structure_list')
+    out = GraphDataset()
+    raw: List[Structure] = []
+    for path in _expand_paths(config, paths_key):
+        if path.endswith('.sevenn_data'):
+            out.extend(load_sevenn_data(path, cutoff, type_map,
+                                        n_cores=n_cores))
+        else:
+            raw.extend(_read_file(path, fmt))
+    if raw:
+        out.extend(GraphDataset.from_structures(raw, cutoff, type_map,
+                                                n_cores=n_cores))
     return out
 
 
@@ -160,10 +224,18 @@ def resolve_statistics(
     )
 
 
-def setup_species(config: Dict, structures: List[Structure]):
+def setup_species(config: Dict, structures: List[Structure],
+                  prebuilt_paths: Optional[List[str]] = None):
     chem = config.get(K.CHEMICAL_SPECIES, 'Auto')
     if isinstance(chem, str) and chem.lower() == 'auto':
-        species = sorted({sp for s in structures for sp in s.species})
+        found = {sp for s in structures for sp in s.species}
+        for path in prebuilt_paths or []:
+            import pickle
+
+            with open(path, 'rb') as f:
+                blob = pickle.load(f)
+            found |= {z_to_symbol(z) for z in blob['type_map']}
+        species = sorted(found)
     else:
         species = list(chem)
     tm = type_map_from_species(species)
@@ -239,6 +311,11 @@ def train(config: Dict, working_dir: str = '.',
             K.IS_PARITY, K.IRREPS_MANUAL, K.SELF_CONNECTION_TYPE,
             K.CUTOFF, K.INTERACTION_TYPE, K.TYPE_MAP, K.NUM_SPECIES,
             K._NORMALIZE_SPH, K._RESTRICT_LAST_LAYER,
+            K.CUTOFF_FUNCTION, K.RADIAL_BASIS, K.LMAX_EDGE, K.LMAX_NODE,
+            K.CONVOLUTION_WEIGHT_NN_HIDDEN_NEURONS, K.ACTIVATION_SCALAR,
+            K.ACTIVATION_GATE, K.ACTIVATION_RADIAL, K.USE_BIAS_IN_LINEAR,
+            K.READOUT_AS_FCN, K.READOUT_FCN_HIDDEN_NEURONS,
+            K.READOUT_FCN_ACTIVATION, K.CORRELATION,
         ):
             if key in cp_config:
                 config[key] = cp_config[key]
@@ -253,29 +330,79 @@ def train(config: Dict, working_dir: str = '.',
     data_weights = parse_dataset_weights(config)
     if data_weights is not None:
         config[K.LOAD_DATASET_WITH_WEIGHTS] = True  # enables weighted loss
+    n_cores = int(config.get(K.PREPROCESS_NUM_CORES, 1) or 1)
+
+    prebuilt_paths: List[str] = []
     if structures is None:
-        structures = load_structures(config)
-    if not structures:
+        fmt = config.get(K.DATA_FORMAT, 'structure_list')
+        paths = _expand_paths(config, K.LOAD_DATASET)
+        prebuilt_paths = [p for p in paths if p.endswith('.sevenn_data')]
+        structures = []
+        for path in paths:
+            if not path.endswith('.sevenn_data'):
+                structures.extend(_read_file(path, fmt))
+    if not structures and not prebuilt_paths:
         raise ValueError(
             f'no structures loaded — check data.{K.LOAD_DATASET} '
             f'(got: {config.get(K.LOAD_DATASET)!r})'
         )
     if not cont.get(K.CHECKPOINT):
-        setup_species(config, structures)
+        setup_species(config, structures, prebuilt_paths)
     tm = config[K.TYPE_MAP]
     cutoff = float(config[K.CUTOFF])
-    full = GraphDataset.from_structures(structures, cutoff, tm)
+    full = GraphDataset.from_structures(structures, cutoff, tm,
+                                        n_cores=n_cores)
+    if prebuilt_paths:
+        from .data.dataset import load_sevenn_data
+
+        for path in prebuilt_paths:
+            full.extend(load_sevenn_data(path, cutoff, tm,
+                                         n_cores=n_cores))
 
     validset_paths = config.get(K.LOAD_VALIDSET)
     if validset_paths:
-        valid_structs = load_structures(config, K.LOAD_VALIDSET)
         train_set = full
-        valid_set = GraphDataset.from_structures(valid_structs, cutoff, tm)
+        valid_set = load_dataset(config, K.LOAD_VALIDSET, cutoff, tm,
+                                 n_cores=n_cores)
     else:
         train_set, valid_set = full.divide(
             config.get(K.RATIO, 0.1), seed=seed
         )
     logger.timer_end('dataset', 'dataset build')
+
+    # optional .sevenn_data dumps (reference:
+    # sevenn/scripts/processing_dataset.py save_dataset / by_label /
+    # by_train_valid flags)
+    if config.get(K.SAVE_DATASET) or config.get(K.SAVE_BY_LABEL) \
+            or config.get(K.SAVE_BY_TRAIN_VALID):
+        from .data.dataset import save_sevenn_data
+
+        if config.get(K.SAVE_DATASET):
+            name = config[K.SAVE_DATASET]
+            if not isinstance(name, str):
+                name = os.path.join(working_dir, 'total')
+            if not name.endswith('.sevenn_data'):
+                name += '.sevenn_data'
+            save_sevenn_data(name, full, cutoff, tm,
+                             structures=structures)
+            logger.writeline(f'dataset saved: {name}')
+        if config.get(K.SAVE_BY_LABEL):
+            by_label: Dict[str, GraphDataset] = {}
+            for g in full.graphs:
+                lbl = str(g.get(K.USER_LABEL, 'none')).replace('/', '_')
+                by_label.setdefault(lbl, GraphDataset()).graphs.append(g)
+            for lbl, ds in by_label.items():
+                p = os.path.join(working_dir, f'{lbl}.sevenn_data')
+                save_sevenn_data(p, ds, cutoff, tm)
+            logger.writeline(
+                f'dataset saved by label: {sorted(by_label)}'
+            )
+        if config.get(K.SAVE_BY_TRAIN_VALID):
+            for nm, ds in (('train', train_set), ('valid', valid_set)):
+                p = os.path.join(working_dir, f'{nm}.sevenn_data')
+                save_sevenn_data(p, ds, cutoff, tm)
+            logger.writeline('dataset saved: train/valid .sevenn_data')
+
     logger.statistics(
         {
             'n_train': len(train_set),
@@ -358,8 +485,8 @@ def train(config: Dict, working_dir: str = '.',
 
     mem_loader = None
     if config.get(K.REHEARSAL) and config.get(K.LOAD_MEMORY):
-        mem_structs = load_structures(config, K.LOAD_MEMORY)
-        mem_set = GraphDataset.from_structures(mem_structs, cutoff, tm)
+        mem_set = load_dataset(config, K.LOAD_MEMORY, cutoff, tm,
+                               n_cores=n_cores)
         ratio = float(config.get(K.MEM_RATIO, 1.0))
         if ratio < 1.0:
             n_keep = max(1, int(len(mem_set) * ratio))
