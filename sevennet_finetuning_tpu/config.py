@@ -123,9 +123,6 @@ DEFAULT_TRAINING_CONFIG: Dict[str, Any] = {
     K.CALC_FISHER: False,
     K.LOSS_THR: -1.0,
     K.IS_DDP: False,
-    K.REHEARSAL: False,
-    K.MEM_BATCH_SIZE: 1,
-    K.MEM_RATIO: 1.0,
 }
 
 TRAINING_CONFIG_CONDITION: Dict[str, Any] = {
@@ -140,9 +137,6 @@ TRAINING_CONFIG_CONDITION: Dict[str, Any] = {
     K.CALC_FISHER: bool,
     K.LOSS_THR: float,
     K.IS_DDP: bool,
-    K.REHEARSAL: bool,
-    K.MEM_BATCH_SIZE: int,
-    K.MEM_RATIO: float,
     K.CONTINUE: {
         K.RESET_OPTIMIZER: bool,
         K.RESET_SCHEDULER: bool,
@@ -162,6 +156,10 @@ DEFAULT_DATA_CONFIG: Dict[str, Any] = {
     K.SAVE_BY_TRAIN_VALID: False,
     K.LOAD_VALIDSET: False,
     K.LOAD_MEMORY: False,
+    # rehearsal lives in the data section (reference: _const.py:210-231)
+    K.REHEARSAL: False,
+    K.MEM_BATCH_SIZE: 1,
+    K.MEM_RATIO: 1.0,
     K.SHIFT: 'per_atom_energy_mean',
     K.SCALE: 'force_rms',
 }
@@ -172,6 +170,9 @@ DATA_CONFIG_CONDITION: Dict[str, Any] = {
     K.BATCH_SIZE: int,
     K.PREPROCESS_NUM_CORES: int,
     K.DATA_SHUFFLE: bool,
+    K.REHEARSAL: bool,
+    K.MEM_BATCH_SIZE: int,
+    K.MEM_RATIO: float,
 }
 
 

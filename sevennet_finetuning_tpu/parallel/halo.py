@@ -3,19 +3,26 @@
 TPU-native redesign of the reference's parallel MD execution model
 (reference: sevenn/pair_e3gnn/pair_e3gnn_parallel.cpp:207-541 and the
 patched MPI CommBrick, comm_brick.cpp:1057-1120): the atom graph is
-partitioned into slab domains over a device mesh axis; each device owns
+partitioned into an N-D brick grid over the device mesh; each device owns
 its atoms' features, and ghost (boundary) features are refreshed from
 their owners between every message-passing layer with ``lax.ppermute``
-collectives over ICI -- one left and one right phase per exchange (slabs
-only face-neighbor-communicate, like the reference's brick swaps).
+collectives over ICI.
+
+Communication follows the LAMMPS brick schedule: one staged swap per
+decomposed axis (x, then y including x-ghosts, then z including
+xy-ghosts), each stage being a +axis and a -axis ``ppermute`` --
+face-neighbor traffic only, exactly the reference's 6-swap loop
+(reference: comm_brick.cpp:1057-1091).  All pack/unpack index maps are
+computed host-side from the neighbor list, mirroring ``comm_preprocess``
+(reference: pair_e3gnn_parallel.cpp:693-801).
 
 Key re-design decisions vs the reference:
-- ONE program under ``shard_map`` instead of L+1 TorchScript segments;
-  ``jax.grad`` through the ppermute collectives produces exactly the
-  reverse halo accumulation the C++ drives by hand (reference:
-  pair_e3gnn_parallel.cpp:404-454) -- here only the final force
-  gather-back is explicit, mirroring reverse_comm once instead of once
-  per layer.
+- ONE program under ``shard_map`` instead of L+1 TorchScript segments.
+- Forces and stress come from ``jax.grad`` w.r.t. local positions and a
+  strain perturbation; the adjoint of every ppermute IS the reverse halo
+  accumulation the C++ drives by hand (reference:
+  pair_e3gnn_parallel.cpp:404-454 reverse_comm), so no manual reverse
+  pass exists anywhere.
 - static padded ghost/edge capacities (the reference's adaptive comm
   buffer growth becomes fixed-size slots, so XLA compiles one program).
 """
@@ -23,7 +30,7 @@ Key re-design decisions vs the reference:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,38 +42,109 @@ from ..data.neighborlist import neighbor_list
 from ..data.vasp import Structure
 from ..irreps import Irreps
 from ..model.nequip import ModelSpec, Params, _linear_w
-from ..ops.gate import apply_gate
 from ..ops.linear import apply_linear, linear_spec
-from ..ops.mlp import mlp_apply
 from ..ops.radial import bessel_basis, poly_cutoff, xplor_cutoff
 from ..ops.spherical import spherical_harmonics
-from ..ops.tensor_product import apply_tp
 from ..ops.util import safe_norm
 
 SP_AXIS = 'sp'
 
 
 @dataclass
+class StagePlan:
+    """One brick-swap stage (one decomposed axis): a +axis and a -axis
+    ppermute with static pack index maps into the buffer accumulated
+    from the previous stages."""
+
+    axis: int
+    cap: int
+    perm_plus: Tuple[Tuple[int, int], ...]   # rank -> +axis neighbor
+    perm_minus: Tuple[Tuple[int, int], ...]
+    send_plus: np.ndarray                     # [D, cap] buffer rows
+    send_plus_mask: np.ndarray                # [D, cap]
+    send_minus: np.ndarray
+    send_minus_mask: np.ndarray
+
+
+@dataclass
 class HaloPlan:
     """Static decomposition: per-device padded arrays (leading axis D)."""
 
+    dims: Tuple[int, int, int]
     n_dev: int
     n_local: int              # padded local-atom capacity per device
-    cap_ghost: int            # padded ghost capacity per direction
     n_edge: int               # padded edge capacity per device
+    stages: List[StagePlan]
     atom_type: np.ndarray     # [D, n_local] i32
     node_mask: np.ndarray     # [D, n_local] f32
     owner_perm: np.ndarray    # [D, n_local] global atom id (-1 pad)
-    edge_idx: np.ndarray      # [D, 2, n_edge]: dst local; src in loc+ghost
+    edge_idx: np.ndarray      # [D, 2, n_edge]: dst local; src in buffer
     edge_shift: np.ndarray    # [D, n_edge, 3]
     edge_mask: np.ndarray     # [D, n_edge]
-    send_r: np.ndarray        # [D, cap_ghost] local rows sent to d+1
-    send_r_mask: np.ndarray
-    send_l: np.ndarray        # [D, cap_ghost] local rows sent to d-1
-    send_l_mask: np.ndarray
     cell: np.ndarray          # [3, 3]
     volume: float
     n_atoms: int
+
+    @property
+    def buffer_rows(self) -> int:
+        return self.n_local + 2 * sum(st.cap for st in self.stages)
+
+
+def _axis_heights(cell: np.ndarray) -> np.ndarray:
+    """Perpendicular height of the cell along each lattice axis."""
+    h = np.zeros(3)
+    for a in range(3):
+        n = np.cross(cell[(a + 1) % 3], cell[(a + 2) % 3])
+        h[a] = abs(np.linalg.det(cell)) / np.linalg.norm(n)
+    return h
+
+
+def choose_dims(cell: np.ndarray, cutoff: float, n_dev: int
+                ) -> Tuple[int, int, int]:
+    """Factor n_dev into a brick grid maximizing the min slab width.
+    Axes split >2 ways must keep width >= cutoff (face-neighbor routing,
+    same constraint the reference aborts on, comm_brick.cpp:1071);
+    2-way splits always route (every brick is every other brick's
+    neighbor modulo 2)."""
+    h = _axis_heights(np.asarray(cell, float))
+    best = None
+    for px in range(1, n_dev + 1):
+        if n_dev % px:
+            continue
+        for py in range(1, n_dev // px + 1):
+            if (n_dev // px) % py:
+                continue
+            pz = n_dev // px // py
+            dims = (px, py, pz)
+            widths = h / np.array(dims)
+            if any(p > 2 and w < cutoff for p, w in zip(dims, widths)):
+                continue
+            key = (min(widths), -sum(p > 1 for p in dims))
+            if best is None or key > best[0]:
+                best = (key, dims)
+    if best is None:
+        raise ValueError(
+            f'no brick decomposition of {n_dev} devices fits cell '
+            f'heights {np.round(h, 2)} with cutoff {cutoff} '
+            f'(face-neighbor halo only)'
+        )
+    return best[1]
+
+
+def _wrap_delta(c_from: int, c_to: int, p: int) -> int:
+    """Periodic hop direction from c_from to c_to on a ring of size p:
+    0 (same), +1, or -1; raises if further than one hop."""
+    dv = (c_to - c_from) % p
+    if dv == 0:
+        return 0
+    if dv == 1:
+        return 1
+    if dv == p - 1:
+        return -1
+    raise ValueError(
+        'edge crosses non-adjacent bricks; decrease device count or '
+        'choose different dims'
+    )
 
 
 def build_halo_plan(
@@ -74,27 +152,41 @@ def build_halo_plan(
     cutoff: float,
     type_map: Dict[int, int],
     n_dev: int,
-    axis: int = 0,
+    dims: Optional[Tuple[int, int, int]] = None,
     pad_quantum: int = 8,
 ) -> HaloPlan:
-    """Partition one periodic structure into slab domains along a cell
-    axis.  Slab width must exceed the cutoff so ghosts come only from
-    face neighbors (the reference aborts identically, reference:
-    sevenn/pair_e3gnn/comm_brick.cpp:1071)."""
+    """Partition one periodic structure into an N-D brick grid.
+
+    ``dims`` (px, py, pz) with px*py*pz == n_dev overrides the automatic
+    factorization.  Rank layout: ((cx * py) + cy) * pz + cz."""
     pos = np.asarray(s.pos, float)
     cell = np.asarray(s.cell, float)
     n = len(pos)
-    frac = (pos @ np.linalg.inv(cell)) % 1.0
-    dom = np.minimum((frac[:, axis] * n_dev).astype(int), n_dev - 1)
+    if dims is None:
+        dims = choose_dims(cell, cutoff, n_dev)
+    px, py, pz = dims
+    assert px * py * pz == n_dev, (dims, n_dev)
 
-    height = abs(np.linalg.det(cell)) / np.linalg.norm(
-        np.cross(cell[(axis + 1) % 3], cell[(axis + 2) % 3])
-    )
-    if n_dev > 2 and height / n_dev < cutoff:
-        raise ValueError(
-            f'slab width {height / n_dev:.2f} A < cutoff {cutoff}: too '
-            'many devices for this cell (face-neighbor halo only)'
-        )
+    h = _axis_heights(cell)
+    for p, w, name in zip(dims, h / np.array(dims), 'xyz'):
+        if p > 2 and w < cutoff:
+            raise ValueError(
+                f'brick width {w:.2f} A along {name} < cutoff {cutoff}: '
+                f'too many devices for this cell (face-neighbor halo '
+                f'only)'
+            )
+
+    def flat(cx, cy, cz):
+        return (cx * py + cy) * pz + cz
+
+    frac = (pos @ np.linalg.inv(cell)) % 1.0
+    coords = np.stack([
+        np.minimum((frac[:, a] * p).astype(int), p - 1)
+        for a, p in enumerate(dims)
+    ], axis=1)
+    dom = np.array([flat(*c) for c in coords])
+    rank_coords = [(cx, cy, cz) for cx in range(px) for cy in range(py)
+                   for cz in range(pz)]
 
     idx_i, idx_j, shift, _ = neighbor_list(pos, cell, s.pbc, cutoff)
     z = s.atomic_numbers
@@ -104,66 +196,126 @@ def build_halo_plan(
     g2l = {}
     for d, ids in enumerate(locals_of):
         for li, gi in enumerate(ids):
-            g2l[gi] = (d, li)
+            g2l[int(gi)] = (d, li)
 
     def qpad(x):
         return max(pad_quantum, int(np.ceil(x / pad_quantum)) * pad_quantum)
 
-    n_local = qpad(max(len(ids) for ids in locals_of))
+    n_local = qpad(max((len(ids) for ids in locals_of), default=1))
+    active = [a for a in range(3) if dims[a] > 1]
 
-    # ghost sets per device and direction
-    ghosts_from = [[set(), set()] for _ in range(n_dev)]  # [from_l, from_r]
+    # ---- staged routing: which atom arrives where, at which stage ------
+    # recv[(rank, stage_pos, side)] = set of global atom ids; side 0 =
+    # from -axis neighbor (data travelled +axis), side 1 = from +axis
+    recv: Dict[Tuple[int, int, int], set] = {}
+    # last hop of each (dst rank, atom): determines its buffer block
+    last_hop: Dict[Tuple[int, int], Tuple[int, int]] = {}
     for a, b in zip(idx_i, idx_j):
-        d, _ = g2l[a]
-        e, _ = g2l[b]
-        if e == d:
+        d, _ = g2l[int(a)]
+        o, _ = g2l[int(b)]
+        if o == d:
             continue
-        if e == (d - 1) % n_dev:
-            ghosts_from[d][0].add(b)
-        elif e == (d + 1) % n_dev:
-            ghosts_from[d][1].add(b)
-        else:
-            raise ValueError(
-                'edge crosses non-adjacent domains; decrease device count'
-            )
-    ghosts_from = [
-        [np.array(sorted(g), dtype=np.int64) for g in pair]
-        for pair in ghosts_from
+        cd, co = rank_coords[d], rank_coords[o]
+        cur = list(co)
+        lh = None
+        for sp_i, ax in enumerate(active):
+            delta = _wrap_delta(co[ax], cd[ax], dims[ax])
+            if delta == 0:
+                continue
+            cur[ax] = cd[ax]
+            r_to = flat(*cur)
+            side = 0 if delta == 1 else 1
+            recv.setdefault((r_to, sp_i, side), set()).add(int(b))
+            lh = (sp_i, side)
+        assert lh is not None
+        last_hop[(d, int(b))] = lh
+
+    caps = []
+    for sp_i in range(len(active)):
+        worst = max(
+            (len(v) for (r, st, sd), v in recv.items() if st == sp_i),
+            default=0,
+        )
+        caps.append(qpad(max(1, worst)))
+
+    # sorted receive blocks fix slot order; senders pack in that order
+    recv_sorted = {
+        k: sorted(v) for k, v in recv.items()
+    }
+
+    # buffer slot of each (rank, atom): locals first, then per-stage
+    # [from_minus | from_plus] blocks
+    present: List[Dict[int, int]] = [
+        {int(gi): li for li, gi in enumerate(ids)}
+        for ids in locals_of
     ]
-    cap_ghost = qpad(
-        max((max(len(g[0]), len(g[1])) for g in ghosts_from), default=1)
-    )
+    block_base = n_local
+    stage_layout = []  # per stage: (base_minus, base_plus)
+    for sp_i in range(len(active)):
+        stage_layout.append((block_base, block_base + caps[sp_i]))
+        block_base += 2 * caps[sp_i]
+    for sp_i in range(len(active)):
+        for r in range(n_dev):
+            for side in (0, 1):
+                base = stage_layout[sp_i][side]
+                for k, gid in enumerate(
+                    recv_sorted.get((r, sp_i, side), [])
+                ):
+                    # do not overwrite: an atom may arrive once and be
+                    # referenced from its first landing block
+                    present[r].setdefault(gid, base + k)
 
-    # sender packs in the receiver's sorted order
-    send_r = np.zeros((n_dev, cap_ghost), np.int32)
-    send_r_mask = np.zeros((n_dev, cap_ghost), np.float32)
-    send_l = np.zeros((n_dev, cap_ghost), np.int32)
-    send_l_mask = np.zeros((n_dev, cap_ghost), np.float32)
-    for d in range(n_dev):
-        for k, gid in enumerate(ghosts_from[(d + 1) % n_dev][0]):
-            assert g2l[gid][0] == d
-            send_r[d, k] = g2l[gid][1]
-            send_r_mask[d, k] = 1.0
-        for k, gid in enumerate(ghosts_from[(d - 1) % n_dev][1]):
-            assert g2l[gid][0] == d
-            send_l[d, k] = g2l[gid][1]
-            send_l_mask[d, k] = 1.0
+    stages: List[StagePlan] = []
+    for sp_i, ax in enumerate(active):
+        cap = caps[sp_i]
+        perm_plus = []
+        perm_minus = []
+        send_plus = np.zeros((n_dev, cap), np.int32)
+        send_plus_mask = np.zeros((n_dev, cap), np.float32)
+        send_minus = np.zeros((n_dev, cap), np.int32)
+        send_minus_mask = np.zeros((n_dev, cap), np.float32)
+        for r in range(n_dev):
+            c = list(rank_coords[r])
+            cp = list(c)
+            cp[ax] = (c[ax] + 1) % dims[ax]
+            cm = list(c)
+            cm[ax] = (c[ax] - 1) % dims[ax]
+            rp, rm = flat(*cp), flat(*cm)
+            perm_plus.append((r, rp))
+            perm_minus.append((r, rm))
+            # what the +axis neighbor expects in its from_minus block
+            for k, gid in enumerate(recv_sorted.get((rp, sp_i, 0), [])):
+                slot = present[r].get(gid)
+                assert slot is not None and slot < stage_layout[sp_i][0], (
+                    'routing error: atom not present before its send '
+                    'stage'
+                )
+                send_plus[r, k] = slot
+                send_plus_mask[r, k] = 1.0
+            for k, gid in enumerate(recv_sorted.get((rm, sp_i, 1), [])):
+                slot = present[r].get(gid)
+                assert slot is not None and slot < stage_layout[sp_i][0]
+                send_minus[r, k] = slot
+                send_minus_mask[r, k] = 1.0
+        stages.append(StagePlan(
+            axis=ax, cap=cap,
+            perm_plus=tuple(perm_plus), perm_minus=tuple(perm_minus),
+            send_plus=send_plus, send_plus_mask=send_plus_mask,
+            send_minus=send_minus, send_minus_mask=send_minus_mask,
+        ))
 
-    # per-device edge lists (dst-owner partitioning; messages flow j -> i)
-    per_dev = [[] for _ in range(n_dev)]
+    # ---- per-device edge lists (dst-owner partitioning) ----------------
+    per_dev: List[list] = [[] for _ in range(n_dev)]
     for eidx, (a, b) in enumerate(zip(idx_i, idx_j)):
-        d, la = g2l[a]
-        e, lb = g2l[b]
-        if e == d:
-            slot = lb
+        d, la = g2l[int(a)]
+        o, _ = g2l[int(b)]
+        if o == d:
+            slot = g2l[int(b)][1]
         else:
-            side = 0 if e == (d - 1) % n_dev else 1
-            slot = n_local + side * cap_ghost + int(
-                np.searchsorted(ghosts_from[d][side], b)
-            )
+            slot = present[d][int(b)]
         per_dev[d].append((la, slot, shift[eidx]))
 
-    n_edge = qpad(max(len(e) for e in per_dev))
+    n_edge = qpad(max((len(e) for e in per_dev), default=1))
     edge_idx = np.zeros((n_dev, 2, n_edge), np.int32)
     edge_shift = np.zeros((n_dev, n_edge, 3), np.float32)
     edge_mask = np.zeros((n_dev, n_edge), np.float32)
@@ -182,31 +334,37 @@ def build_halo_plan(
         owner_perm[d, :len(ids)] = ids
 
     return HaloPlan(
-        n_dev=n_dev, n_local=n_local, cap_ghost=cap_ghost, n_edge=n_edge,
+        dims=(px, py, pz), n_dev=n_dev, n_local=n_local, n_edge=n_edge,
+        stages=stages,
         atom_type=atom_type, node_mask=node_mask, owner_perm=owner_perm,
         edge_idx=edge_idx, edge_shift=edge_shift, edge_mask=edge_mask,
-        send_r=send_r, send_r_mask=send_r_mask,
-        send_l=send_l, send_l_mask=send_l_mask,
         cell=cell.astype(np.float32), volume=float(s.volume), n_atoms=n,
     )
 
 
-def _exchange(x_loc, send_r, send_r_mask, send_l, send_l_mask, n_dev):
-    """Halo refresh -> [2*cap_ghost, ...] (from-left block, from-right
-    block).  Differentiable; grad transposes to the reverse halo-sum."""
-    cap = send_r.shape[0]
-    if n_dev == 1:
-        return jnp.zeros((2 * cap,) + x_loc.shape[1:], x_loc.dtype)
-    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-    mshape = (-1,) + (1,) * (x_loc.ndim - 1)
-    from_left = lax.ppermute(
-        x_loc[send_r] * send_r_mask.reshape(mshape), SP_AXIS, fwd
-    )
-    from_right = lax.ppermute(
-        x_loc[send_l] * send_l_mask.reshape(mshape), SP_AXIS, bwd
-    )
-    return jnp.concatenate([from_left, from_right], axis=0)
+def _make_exchange(plan: HaloPlan, stage_arrays):
+    """Returns exchange(x_loc) -> full buffer [buffer_rows, ...]:
+    staged brick swaps appending [from_minus | from_plus] blocks per
+    stage.  Differentiable; each ppermute's adjoint is the reverse halo
+    accumulation."""
+    stages = plan.stages
+
+    def exchange(x_loc):
+        buf = x_loc
+        for st, (sp_idx, sp_m, sm_idx, sm_m) in zip(stages, stage_arrays):
+            mshape = (-1,) + (1,) * (buf.ndim - 1)
+            from_minus = lax.ppermute(
+                buf[sp_idx] * sp_m.reshape(mshape), SP_AXIS,
+                list(st.perm_plus),
+            )
+            from_plus = lax.ppermute(
+                buf[sm_idx] * sm_m.reshape(mshape), SP_AXIS,
+                list(st.perm_minus),
+            )
+            buf = jnp.concatenate([buf, from_minus, from_plus], axis=0)
+        return buf
+
+    return exchange
 
 
 def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
@@ -220,15 +378,14 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
     tunneled runtimes)."""
     es = spec.edge
     sh_fn = spherical_harmonics(es.lmax_edge, normalize=es.normalize_sph)
-    n_dev = plan.n_dev
-    cap = plan.cap_ghost
     one_hot_irreps = Irreps(f'{spec.num_species}x0e')
     embed_spec = linear_spec(one_hot_irreps, spec.blocks[0].irreps_x,
                              biases=spec.use_bias_in_linear)
     cellT = jnp.asarray(plan.cell)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
 
     def network_energy(params, edge_vec, atom_type, node_mask, dst, src,
-                       edge_mask, send_r, send_r_m, send_l, send_l_m):
+                       edge_mask, exchange):
         """Edge vectors -> psum'd total energy (per-layer halo inside)."""
         from ..model.nequip import readout_and_rescale, run_blocks
 
@@ -246,75 +403,48 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
                                 dtype=edge_vec.dtype)
         x = apply_linear(embed_spec,
                          _linear_w(params['onehot_to_feature_x']), onehot)
-
-        def exchange_fn(x_loc):
-            # per-layer ghost refresh (reference: forward_comm between
-            # conv segments)
-            ghosts = _exchange(x_loc, send_r, send_r_m, send_l, send_l_m,
-                               n_dev)
-            return jnp.concatenate([x_loc, ghosts], axis=0)
-
         x = run_blocks(spec, params, x, onehot, emb, edge_attr, src, dst,
-                       plan.n_local, exchange_fn=exchange_fn)
+                       plan.n_local, exchange_fn=exchange)
         _, atomic_e = readout_and_rescale(spec, params, x, atom_type)
         return lax.psum(jnp.sum(atomic_e * node_mask), SP_AXIS)
 
     def shard_fn(params, pos, atom_type, node_mask, edge_idx, edge_shift,
-                 edge_mask, send_r, send_r_m, send_l, send_l_m):
+                 edge_mask, *stage_flat):
         pos, atom_type, node_mask = pos[0], atom_type[0], node_mask[0]
         edge_idx, edge_shift, edge_mask = (
             edge_idx[0], edge_shift[0], edge_mask[0]
         )
-        send_r, send_r_m = send_r[0], send_r_m[0]
-        send_l, send_l_m = send_l[0], send_l_m[0]
+        stage_arrays = [
+            tuple(a[0] for a in stage_flat[i:i + 4])
+            for i in range(0, len(stage_flat), 4)
+        ]
         dst, src = edge_idx[0], edge_idx[1]
+        exchange = _make_exchange(plan, stage_arrays)
 
-        ghost_pos = _exchange(pos, send_r, send_r_m, send_l, send_l_m,
-                              n_dev)
-        pos_all = jnp.concatenate([pos, ghost_pos], axis=0)
-        edge_vec = (
-            pos_all[src] - pos[dst]
-            + jnp.einsum('ei,ij->ej', edge_shift, cellT)
-        )
-
-        energy, fij = jax.value_and_grad(
-            lambda ev: network_energy(
-                params, ev, atom_type, node_mask, dst, src, edge_mask,
-                send_r, send_r_m, send_l, send_l_m,
+        def energy_of(pos_loc, eps):
+            pos_all = exchange(pos_loc)
+            ev = (
+                pos_all[src] - pos_loc[dst]
+                + jnp.einsum('ei,ij->ej', edge_shift, cellT)
             )
-        )(edge_vec)
+            # strain perturbation: dE/deps = sum_e ev (x) f_e = virial
+            ev = ev @ (eye3 + eps)
+            return network_energy(params, ev, atom_type, node_mask, dst,
+                                  src, edge_mask, exchange)
 
-        # forces: F = scatter(+fij -> dst) - scatter(fij -> src); the
-        # src side includes ghost slots whose sums return to their owners
-        # via one reverse exchange (reference: reverse_comm semantics)
-        pf = jax.ops.segment_sum(fij, dst, num_segments=plan.n_local)
-        nf_all = jax.ops.segment_sum(
-            fij, src, num_segments=plan.n_local + 2 * cap
-        )
-        nf = nf_all[:plan.n_local]
-        if n_dev > 1:
-            fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-            bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-            # ghosts-from-left block came via fwd perm; its adjoint sum
-            # returns via bwd, landing on the owner's send_r rows
-            back_r = lax.ppermute(
-                nf_all[plan.n_local:plan.n_local + cap], SP_AXIS, bwd
-            )
-            back_l = lax.ppermute(
-                nf_all[plan.n_local + cap:], SP_AXIS, fwd
-            )
-            nf = nf.at[send_r].add(back_r * send_r_m[:, None])
-            nf = nf.at[send_l].add(back_l * send_l_m[:, None])
-        forces = pf - nf
-
-        diag = edge_vec * fij
-        voigt = jnp.stack([
-            jnp.sum(diag[:, 0]), jnp.sum(diag[:, 1]), jnp.sum(diag[:, 2]),
-            jnp.sum(edge_vec[:, 0] * fij[:, 1]),
-            jnp.sum(edge_vec[:, 1] * fij[:, 2]),
-            jnp.sum(edge_vec[:, 2] * fij[:, 0]),
-        ])
-        stress = -lax.psum(voigt, SP_AXIS) / plan.volume
+        eps0 = jnp.zeros((3, 3), pos.dtype)
+        energy, (dpos, deps) = jax.value_and_grad(
+            energy_of, argnums=(0, 1)
+        )(pos, eps0)
+        forces = -dpos
+        # deps comes back globally accumulated: the strain is a
+        # device-invariant input, so its cotangent collects every
+        # device's contribution through the psum transpose (verified:
+        # grad-of-psum wrt replicated input == global sum)
+        w = deps
+        voigt = jnp.stack([w[0, 0], w[1, 1], w[2, 2],
+                           w[0, 1], w[1, 2], w[2, 0]])
+        stress = -voigt / plan.volume
         return energy[None], forces[None], stress[None]
 
     try:
@@ -323,20 +453,24 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
         from jax.experimental.shard_map import shard_map
 
     sharded = P(SP_AXIS)
+    n_stage_args = 4 * len(plan.stages)
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(),) + (sharded,) * 10,
+        in_specs=(P(),) + (sharded,) * (6 + n_stage_args),
         out_specs=(P(SP_AXIS), P(SP_AXIS), P(SP_AXIS)),
     )
 
-    statics = (
+    statics = [
         jnp.asarray(plan.atom_type), jnp.asarray(plan.node_mask),
         jnp.asarray(plan.edge_idx), jnp.asarray(plan.edge_shift),
         jnp.asarray(plan.edge_mask),
-        jnp.asarray(plan.send_r), jnp.asarray(plan.send_r_mask),
-        jnp.asarray(plan.send_l), jnp.asarray(plan.send_l_mask),
-    )
+    ]
+    for st in plan.stages:
+        statics += [
+            jnp.asarray(st.send_plus), jnp.asarray(st.send_plus_mask),
+            jnp.asarray(st.send_minus), jnp.asarray(st.send_minus_mask),
+        ]
 
     @jax.jit
     def jforward(p, pos_sharded):

@@ -85,10 +85,68 @@ def test_halo_matches_serial(n_dev):
 
 
 def test_halo_rejects_too_small_slabs():
+    """A >2-way split axis narrower than the cutoff must abort, like the
+    reference (reference: comm_brick.cpp:1071)."""
     s = _structure(a=8.0)
     tm = {8: 0, 14: 1}
     with pytest.raises(ValueError):
-        build_halo_plan(s, 3.5, tm, 8)
+        build_halo_plan(s, 3.5, tm, 8, dims=(8, 1, 1))
+    with pytest.raises(ValueError):
+        build_halo_plan(s, 3.5, tm, 16)  # no feasible factorization
+
+
+def test_brick_8dev_hfo2_matches_serial():
+    """VERDICT item 5 done-criterion: serial == parallel at 8 devices
+    ((2,2,2) brick) on the 96-atom HfO2 cell replicated 2x2x2 -- the
+    reference's md_parallel_example workload."""
+    from sevennet_finetuning_tpu.data.vasp import read_outcar
+    from sevennet_finetuning_tpu.parallel.halo import choose_dims
+
+    base = read_outcar(
+        '/root/reference/example_inputs/data/label_1/OUTCAR_1'
+    )[0]
+    s = replicate(base, 2, 2, 2)   # 768 atoms
+    tm = {8: 0, 72: 1}
+    spec, params = _model(tm, cutoff=4.0)
+    assert choose_dims(s.cell, 4.0, 8) == (2, 2, 2)
+
+    e_ser, f_ser, s_ser = _serial_reference(spec, params, s)
+    plan = build_halo_plan(s, spec.cutoff, tm, 8)
+    assert plan.dims == (2, 2, 2)
+    assert len(plan.stages) == 3
+    mesh = Mesh(np.array(jax.devices()[:8]), (SP_AXIS,))
+    pj = jax.tree_util.tree_map(jnp.asarray, params)
+    fwd = make_halo_forward(spec, pj, plan, mesh)
+    pos = jax.device_put(
+        jnp.asarray(scatter_positions(plan, s.pos.astype(np.float32))),
+        NamedSharding(mesh, P(SP_AXIS)),
+    )
+    e, f, st = fwd(pos)
+    assert abs(float(e) - e_ser) < 1e-3 * max(1, abs(e_ser))
+    np.testing.assert_allclose(gather_forces(plan, f), f_ser, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st), s_ser, atol=1e-6)
+
+
+@pytest.mark.parametrize('dims', [(2, 2, 1), (1, 2, 2), (2, 1, 2)])
+def test_brick_2d_matches_serial(dims):
+    """2-D brick grids (4 devices) against the serial oracle."""
+    s = replicate(_structure(n=40, seed=2, a=9.0), 2, 2, 2)
+    tm = {8: 0, 14: 1}
+    spec, params = _model(tm, cutoff=3.0)
+    e_ser, f_ser, s_ser = _serial_reference(spec, params, s)
+
+    plan = build_halo_plan(s, spec.cutoff, tm, 4, dims=dims)
+    mesh = Mesh(np.array(jax.devices()[:4]), (SP_AXIS,))
+    pj = jax.tree_util.tree_map(jnp.asarray, params)
+    fwd = make_halo_forward(spec, pj, plan, mesh)
+    pos = jax.device_put(
+        jnp.asarray(scatter_positions(plan, s.pos.astype(np.float32))),
+        NamedSharding(mesh, P(SP_AXIS)),
+    )
+    e, f, st = fwd(pos)
+    assert abs(float(e) - e_ser) < 1e-3 * max(1, abs(e_ser))
+    np.testing.assert_allclose(gather_forces(plan, f), f_ser, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st), s_ser, atol=1e-6)
 
 
 def test_md_energy_conservation():
