@@ -305,6 +305,7 @@ def train(config: Dict, working_dir: str = '.',
         logger.writeline(f'continuing from {cp_path}')
         cp_blob = load_checkpoint(cp_path)
         cp_config = cp_blob['config']
+        _check_continue_compat(config, cp_config, cont, logger)
         # architecture keys must come from the checkpoint
         for key in (
             K.NODE_FEATURE_MULTIPLICITY, K.LMAX, K.NUM_CONVOLUTION,
@@ -499,10 +500,65 @@ def train(config: Dict, working_dir: str = '.',
         logger.writeline(f'rehearsal memory: {len(mem_set)} structures')
 
     # -- epoch loop -------------------------------------------------------
+    # epoch numbering continues from the checkpoint unless reset
+    # (reference: sevenn/scripts/processing_continue.py:120-130)
+    start_epoch = 1
+    if cp_blob is not None and not cont.get(K.RESET_EPOCH):
+        start_epoch = int(cp_blob.get('epoch') or 0) + 1
+        if start_epoch > 1:
+            logger.writeline(f'epoch continues from {start_epoch}')
     run_epochs(trainer, config, train_loader, valid_loader, logger,
-               working_dir, mem_loader=mem_loader)
+               working_dir, mem_loader=mem_loader,
+               start_epoch=start_epoch)
     logger.close()
     return trainer
+
+
+def _check_continue_compat(config: Dict, cp_config: Dict, cont: Dict,
+                           logger: Logger):
+    """Reject a continue run whose yaml explicitly conflicts with the
+    checkpoint architecture (reference:
+    sevenn/scripts/processing_continue.py:11-56).
+
+    Our flat config cannot distinguish 'user typed the default' from
+    'unset', so only values differing from BOTH the checkpoint and the
+    shipped default count as explicit conflicts."""
+    from .config import DEFAULT_MODEL_CONFIG
+
+    should_be_same = (
+        K.NODE_FEATURE_MULTIPLICITY, K.LMAX, K.IS_PARITY, K.CUTOFF,
+        K.RADIAL_BASIS, K.CUTOFF_FUNCTION,
+        K.CONVOLUTION_WEIGHT_NN_HIDDEN_NEURONS, K.NUM_CONVOLUTION,
+        K.USE_BIAS_IN_LINEAR, K.SELF_CONNECTION_TYPE, K.INTERACTION_TYPE,
+        K.IRREPS_MANUAL,
+    )
+    for key in should_be_same:
+        if key not in config or key not in cp_config:
+            continue
+        v, cp_v = config[key], cp_config[key]
+        if v == cp_v:
+            continue
+        if v == DEFAULT_MODEL_CONFIG.get(key):
+            continue  # unset by the user; checkpoint value will be used
+        if isinstance(v, dict) and isinstance(cp_v, dict) \
+                and all(cp_v.get(k) == vv for k, vv in v.items()):
+            continue  # user subset consistent with checkpoint
+        raise ValueError(
+            f'continue: {key} must match the checkpoint '
+            f'({v!r} != {cp_v!r}); remove it from the yaml or retrain'
+        )
+
+    # changing what is trainable invalidates optimizer/scheduler state
+    # (reference: processing_continue.py:46-56)
+    if not (cont.get(K.RESET_OPTIMIZER) and cont.get(K.RESET_SCHEDULER)):
+        for key in (K.TRAIN_DENOMINATOR, K.TRAIN_SHIFT_SCALE):
+            if key in config and key in cp_config \
+                    and config[key] != cp_config[key]:
+                raise ValueError(
+                    f'continue: {key} changed '
+                    f'({cp_config[key]!r} -> {config[key]!r}); set '
+                    f'reset_optimizer and reset_scheduler'
+                )
 
 
 def _override_statistics(params, spec, config: Dict):
@@ -545,7 +601,18 @@ def run_epochs(
         + [f'valid_{k}' for k in sample_metrics]
     if mem_loader is not None:
         csv_cols += [f'memory_{k}' for k in sample_metrics]
-    logger.init_csv(os.path.join(working_dir, 'log.csv'), csv_cols)
+    # continue runs append to a matching log.csv instead of restarting
+    # it (reference: sevenn/scripts/processing_continue.py:131-141)
+    csv_path = os.path.join(working_dir, 'log.csv')
+    append = False
+    if start_epoch > 1 and os.path.isfile(csv_path):
+        with open(csv_path) as f:
+            append = f.readline().strip() == ','.join(csv_cols)
+        logger.writeline(
+            'log.csv will be appended' if append
+            else 'metrics changed: log.csv restarted'
+        )
+    logger.init_csv(csv_path, csv_cols, append=append)
 
     for epoch in range(start_epoch, total_epoch + 1):
         logger.timer_start('epoch')

@@ -145,3 +145,54 @@ def test_preset_cli_prints_yaml(capsys):
     cli_main(['preset', 'fine_tune'])
     out = capsys.readouterr().out
     assert yaml.safe_load(out)  # parses
+
+
+def test_continue_epoch_and_csv_continuation(tmp_path):
+    """Epoch numbering and log.csv continue across runs; reset_epoch
+    restarts; conflicting arch yaml keys are rejected (reference:
+    sevenn/scripts/processing_continue.py:11-56,120-143)."""
+    y = _write_yaml(str(tmp_path / 'input.yaml'))
+    wd = str(tmp_path / 'run')
+    cli_main(['train', y, '-w', wd])
+    cp = os.path.join(wd, 'checkpoint_2.pth')
+
+    # continue IN THE SAME DIR to epoch 4: rows 3,4 appended
+    y2 = _write_yaml(
+        str(tmp_path / 'input2.yaml'),
+        extra_train={'continue': {'checkpoint': cp}, 'epoch': 4},
+    )
+    cli_main(['train', y2, '-w', wd])
+    with open(os.path.join(wd, 'log.csv')) as f:
+        rows = list(csv.DictReader(f))
+    assert [r['epoch'] for r in rows] == ['1', '2', '3', '4']
+    assert os.path.exists(os.path.join(wd, 'checkpoint_4.pth'))
+
+    # reset_epoch: restart numbering at 1 (fresh csv in a new dir)
+    y3 = _write_yaml(
+        str(tmp_path / 'input3.yaml'),
+        extra_train={'continue': {'checkpoint': cp, 'reset_epoch': True},
+                     'epoch': 1},
+    )
+    wd3 = str(tmp_path / 'run3')
+    cli_main(['train', y3, '-w', wd3])
+    with open(os.path.join(wd3, 'log.csv')) as f:
+        rows = list(csv.DictReader(f))
+    assert [r['epoch'] for r in rows] == ['1']
+
+    # conflicting architecture in the yaml -> hard error
+    y4 = _write_yaml(
+        str(tmp_path / 'input4.yaml'),
+        extra_model={'channel': 16},
+        extra_train={'continue': {'checkpoint': cp}},
+    )
+    with pytest.raises(ValueError, match='must match the checkpoint'):
+        cli_main(['train', y4, '-w', str(tmp_path / 'run4')])
+
+    # changing trainables without resetting optimizer -> hard error
+    y5 = _write_yaml(
+        str(tmp_path / 'input5.yaml'),
+        extra_model={'train_shift_scale': True},
+        extra_train={'continue': {'checkpoint': cp}},
+    )
+    with pytest.raises(ValueError, match='reset_optimizer'):
+        cli_main(['train', y5, '-w', str(tmp_path / 'run5')])
