@@ -114,6 +114,7 @@ def test_fisher_then_ewc_cli(tmp_path):
             'continue': {
                 'checkpoint': os.path.join(wd, 'checkpoint_2.pth'),
                 'reset_optimizer': True, 'reset_scheduler': True,
+                'reset_epoch': True,
                 'fisher_information': os.path.join(fis,
                                                    'fisher_sevenn.pt'),
                 'opt_params': os.path.join(fis, 'opt_params_sevenn.pt'),
