@@ -50,9 +50,19 @@ class Calculator:
 
     @classmethod
     def from_checkpoint(cls, path: str) -> 'Calculator':
+        """Accepts our pickle checkpoints, reference torch .pth files,
+        and the pickle-free npz deploy artifacts alike."""
         from .train.checkpoint import model_from_checkpoint
 
         spec, params, _ = model_from_checkpoint(path)
+        return cls(spec, params)
+
+    @classmethod
+    def from_deployed(cls, path: str) -> 'Calculator':
+        """Load an npz+json deploy artifact (safe: no pickle)."""
+        from .train.checkpoint import model_from_deployed
+
+        spec, params, _ = model_from_deployed(path)
         return cls(spec, params)
 
     @classmethod

@@ -71,7 +71,7 @@ def cmd_get_model(args):
     import numpy as np
 
     from . import keys as K
-    from .train.checkpoint import load_checkpoint, save_checkpoint
+    from .train.checkpoint import load_checkpoint, save_deployed
 
     blob = load_checkpoint(args.checkpoint)
     config = blob['config']
@@ -79,9 +79,8 @@ def cmd_get_model(args):
         'deployed_parallel.sevenn' if args.parallel
         else 'deployed_serial.sevenn'
     )
-    # strip training-only state; keep model weights + full config
-    save_checkpoint(out, blob['model_state_dict'], config,
-                    epoch=blob.get('epoch', 0))
+    # strip training-only state; emit the pickle-free npz+json artifact
+    save_deployed(out, blob['model_state_dict'], config)
     n_par = sum(
         int(np.prod(np.shape(v)))
         for g in blob['model_state_dict'].values()

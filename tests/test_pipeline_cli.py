@@ -197,3 +197,44 @@ def test_continue_epoch_and_csv_continuation(tmp_path):
     )
     with pytest.raises(ValueError, match='reset_optimizer'):
         cli_main(['train', y5, '-w', str(tmp_path / 'run5')])
+
+
+def test_deploy_artifact_is_pickle_free(tmp_path):
+    """get_model emits an npz+json artifact (no pickle anywhere) whose
+    predictions match the source checkpoint (reference counterpart:
+    TorchScript freeze + _extra_files, sevenn/scripts/deploy.py:15-51)."""
+    import numpy as np
+
+    from sevennet_finetuning_tpu.calculator import Calculator
+    from sevennet_finetuning_tpu.data.vasp import read_outcar
+
+    y = _write_yaml(str(tmp_path / 'input.yaml'))
+    wd = str(tmp_path / 'run')
+    cli_main(['train', y, '-w', wd])
+    cp = os.path.join(wd, 'checkpoint_2.pth')
+    art = str(tmp_path / 'deployed.sevenn')
+    cli_main(['get_model', cp, '-o', art])
+
+    # strictly pickle-free load
+    with np.load(art, allow_pickle=False) as z:
+        assert '__config__' in z.files
+        assert any('/w0' in k for k in z.files)
+
+    s = read_outcar(
+        '/root/reference/example_inputs/data/label_1/OUTCAR_5'
+    )[0]
+    c1 = Calculator.from_checkpoint(cp)
+    c2 = Calculator.from_deployed(art)
+    r1 = c1.calculate(s)
+    r2 = c2.calculate(s)
+    np.testing.assert_allclose(r1['energy'], r2['energy'], rtol=1e-6)
+    np.testing.assert_allclose(r1['forces'], r2['forces'], atol=1e-6)
+
+    # deploy artifacts also feed continue: (fine-tune from deployed)
+    y2 = _write_yaml(
+        str(tmp_path / 'input2.yaml'),
+        extra_train={'continue': {'checkpoint': art,
+                                  'reset_epoch': True}, 'epoch': 1},
+    )
+    cli_main(['train', y2, '-w', str(tmp_path / 'run2')])
+    assert os.path.exists(tmp_path / 'run2' / 'log.csv')
