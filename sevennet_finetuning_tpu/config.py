@@ -19,7 +19,8 @@ from . import keys as K
 IMPLEMENTED_RADIAL_BASIS = ['bessel']
 IMPLEMENTED_CUTOFF_FUNCTION = ['poly_cut', 'XPLOR']
 IMPLEMENTED_SELF_CONNECTION_TYPE = ['nequip', 'linear', 'none']
-IMPLEMENTED_INTERACTION_TYPE = ['nequip', 'mace', 'gaunt', 'gaunt_gate']
+IMPLEMENTED_INTERACTION_TYPE = ['nequip', 'mace', 'gaunt', 'gaunt_gate',
+                                'custom']
 IMPLEMENTED_SHIFT = ['per_atom_energy_mean', 'elemwise_reference_energies']
 IMPLEMENTED_SCALE = ['force_rms', 'per_atom_energy_std',
                      'elemwise_force_rms']

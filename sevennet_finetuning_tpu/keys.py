@@ -169,3 +169,8 @@ AVG_NUM_NEIGH: Final[str] = 'avg_num_neigh'
 SHIFT_CP: Final[str] = 'shift_cp'
 SCALE_CP: Final[str] = 'scale_cp'
 CONV_DENOMINATOR_CP: Final[str] = 'conv_denominator_cp'
+
+# plugin hooks (reference: sevenn/_keys.py:204, sevenn/train/loss.py:312)
+_CUSTOM_INTERACTION_BLOCK_CALLBACK: Final[str] = (
+    '_custom_interaction_block_callback'
+)

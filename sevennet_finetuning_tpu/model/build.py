@@ -26,6 +26,21 @@ from .nequip import (
 from ..ops.linear import linear_spec
 
 
+def _load_callback(path: str, module: str, function: str):
+    """Dotted-path plugin loader shared by the custom interaction-block
+    and custom loss hooks (reference: sevenn/model_build.py:92-100,
+    sevenn/train/loss.py:312-321)."""
+    import importlib
+    import os
+    import sys
+
+    if not os.path.isdir(path):
+        raise ValueError(f'no such plugin dir: {path}')
+    if path not in sys.path:
+        sys.path.insert(1, path)
+    return getattr(importlib.import_module(module), function)
+
+
 def build_model_spec(config: Dict) -> ModelSpec:
     num_species = config[K.NUM_SPECIES]
     channel = config.get(K.NODE_FEATURE_MULTIPLICITY, 32)
@@ -40,9 +55,15 @@ def build_model_spec(config: Dict) -> ModelSpec:
     cutoff = float(config.get(K.CUTOFF, 4.5))
     biases = config.get(K.USE_BIAS_IN_LINEAR, False)
     interaction = config.get(K.INTERACTION_TYPE, 'nequip')
-    if interaction not in ('nequip', 'mace', 'gaunt', 'gaunt_gate'):
+    if interaction not in ('nequip', 'mace', 'gaunt', 'gaunt_gate',
+                           'custom'):
         raise NotImplementedError(
             f'interaction type {interaction!r} not yet available'
+        )
+    custom_builder = None
+    if interaction == 'custom':
+        custom_builder = _load_callback(
+            **config[K._CUSTOM_INTERACTION_BLOCK_CALLBACK]
         )
 
     rb = config.get(K.RADIAL_BASIS, {K.RADIAL_BASIS_NAME: 'bessel'})
@@ -91,7 +112,34 @@ def build_model_spec(config: Dict) -> ModelSpec:
     blocks = []
     cur_lmax_node = lmax_node
     for t in range(num_layers):
-        if interaction in ('gaunt', 'gaunt_gate'):
+        if interaction == 'custom':
+            # plugin hook (reference: sevenn/model_build.py:92-100): the
+            # callback builds a CustomBlockSpec with init/apply
+            parity_mode = 'full'
+            if t == num_layers - 1 and restrict_last:
+                cur_lmax_node = 0
+                parity_mode = 'even'
+            irreps_out = (
+                tp_out_irreps(
+                    irreps_x, irreps_filter, cur_lmax_node, parity_mode,
+                    fix_multiplicity=channel,
+                )
+                if not irreps_manual
+                else irreps_manual[t + 1]
+            )
+            blk = custom_builder(
+                t=t,
+                irreps_x=irreps_x,
+                irreps_filter=irreps_filter,
+                irreps_out=irreps_out,
+                num_species=num_species,
+                radial_hidden=radial_hidden,
+                bessel_num=bessel_num,
+                config=config,
+            )
+            assert blk.block_type == 'custom' and blk.t == t
+            blocks.append(blk)
+        elif interaction in ('gaunt', 'gaunt_gate'):
             # reference: sevenn/model_build.py:327-347
             parity_mode = 'sph'
             fix = channel

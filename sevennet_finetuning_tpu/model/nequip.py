@@ -114,6 +114,27 @@ class BlockSpec:
 
 
 @dataclass(frozen=True)
+class CustomBlockSpec:
+    """User-defined interaction block (the reference's plugin hook,
+    reference: sevenn/model_build.py:92-100, config key
+    _custom_interaction_block_callback).
+
+    TPU-native contract: the callback returns one of these per layer.
+    ``init(rng) -> {name: ndarray}`` creates the block's parameters;
+    ``apply(params, x, ctx) -> x_out`` is pure JAX.  ``ctx`` carries
+    onehot, emb (radial embedding), edge_attr (SH), edge_src, edge_dst,
+    n_node, and exchange_fn (None, or local->local+ghost rows for the
+    halo-parallel path -- apply it before gathering edge_src)."""
+
+    t: int
+    irreps_x: 'Irreps'
+    irreps_out: 'Irreps'
+    init: object
+    apply: object
+    block_type: str = 'custom'
+
+
+@dataclass(frozen=True)
 class ReadoutSpec:
     as_fcn: bool
     lin1: Optional[LinearSpec] = None
@@ -383,6 +404,9 @@ def init_params(spec: ModelSpec, seed: int = 0) -> Params:
 
     for blk in spec.blocks:
         t = blk.t
+        if blk.block_type == 'custom':
+            p[f'{t}_custom_block'] = blk.init(rng)
+            continue
         if blk.self_connection == 'nequip':
             p[f'{t}_self_connection_intro'] = _tp_params(blk.sc_spec, rng)
         elif blk.self_connection == 'linear':
@@ -440,6 +464,8 @@ def trainable_mask(spec: ModelSpec, params: Params) -> Params:
     mask = jax.tree_util.tree_map(lambda _: True, params)
     mask['edge_embedding']['bessel_coeffs'] = spec.edge.bessel_trainable
     for blk in spec.blocks:
+        if blk.block_type == 'custom':
+            continue
         mask[f'{blk.t}_convolution']['denominator'] = blk.train_denominator
     mask['rescale_atomic_energy']['shift'] = spec.train_shift_scale
     mask['rescale_atomic_energy']['scale'] = spec.train_shift_scale
@@ -513,6 +539,13 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
                    edge_src, edge_dst, n_node, cap, exchange_fn,
                    edges_sorted=False):
     t = blk.t
+    if blk.block_type == 'custom':
+        ctx = dict(onehot=onehot, emb=emb, edge_attr=edge_attr,
+                   edge_src=edge_src, edge_dst=edge_dst, n_node=n_node,
+                   exchange_fn=exchange_fn)
+        x = blk.apply(params[f'{t}_custom_block'], x, ctx)
+        cap(f'{t}_custom_block', x)
+        return x
     if blk.self_connection == 'nequip':
         sc = apply_tp(
             blk.sc_spec, x, onehot,

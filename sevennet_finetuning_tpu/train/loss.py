@@ -51,10 +51,12 @@ def _masked_mean(err, mask, weights=None):
 class LossSpec:
     """One term of the training objective."""
 
-    name: str          # 'Energy' | 'Force' | 'Stress' | 'EWC'
+    name: str          # 'Energy' | 'Force' | 'Stress' | 'EWC' | custom
     weight: float
     criterion: str = 'mse'
     criterion_params: Tuple[Tuple[str, float], ...] = ()
+    # plugin terms (loss: 'custom'): fn(params, output_dict) -> scalar
+    custom_fn: Optional[Callable] = None
 
 
 def energy_loss(out: Dict, crit: Callable, weights=None) -> jnp.ndarray:
@@ -115,7 +117,7 @@ def build_loss_fn(
     """
     crits = {}
     for ls in loss_specs:
-        if ls.name != 'EWC':
+        if ls.name != 'EWC' and ls.custom_fn is None:
             crits[ls.name] = _criterion(
                 ls.criterion, **dict(ls.criterion_params)
             )
@@ -124,7 +126,9 @@ def build_loss_fn(
         terms = {}
         total = 0.0
         for ls in loss_specs:
-            if ls.name == 'Energy':
+            if ls.custom_fn is not None:
+                v = ls.custom_fn(params, out)
+            elif ls.name == 'Energy':
                 w = out.get(K.DATA_WEIGHT, {}).get(K.PER_ATOM_ENERGY) \
                     if use_data_weights else None
                 v = energy_loss(out, crits[ls.name], w)
@@ -152,6 +156,24 @@ def loss_specs_from_config(config: Dict) -> Tuple[LossSpec, ...]:
     config, optional EWC with weight lambda/2 (reference:
     sevenn/train/loss.py:268-309)."""
     name = config.get(K.LOSS, 'mse')
+    if str(name).lower() == 'custom':
+        # plugin hook (reference: sevenn/train/loss.py:312-321):
+        # loss_param = {path, module, function}; the callback receives
+        # the config and returns [(term_name, weight, fn)] with
+        # fn(params, output_dict) -> scalar jnp loss
+        from ..model.build import _load_callback
+
+        callback = _load_callback(**config.get(K.LOSS_PARAM, {}))
+        terms = callback(config)
+        specs = [
+            LossSpec(n, float(w), 'custom', custom_fn=fn)
+            for n, w, fn in terms
+        ]
+        cont = config.get(K.CONTINUE, {})
+        if cont.get(K.FISHER) and cont.get(K.OPT_PARAMS):
+            lam = float(cont.get(K.EWC_LAMBDA, 0.0))
+            specs.append(LossSpec('EWC', lam / 2.0))
+        return tuple(specs)
     lp = tuple(sorted(config.get(K.LOSS_PARAM, {}).items()))
     specs: List[LossSpec] = [
         LossSpec('Energy', 1.0, name, lp),
