@@ -130,6 +130,45 @@ def main():
     jax.block_until_ready(total)
     dt = (time.time() - t0) / N
 
+    # XLA's own FLOP count for the compiled step -> model FLOPs
+    # utilization against the chip's bf16 peak (v5e: 197 TFLOP/s;
+    # the hot contractions run in fp32-accumulated HIGHEST precision,
+    # so this under-states achievable MXU efficiency by design)
+    flops_per_step = None
+    mfu_bf16_peak = None
+    try:
+        cost = train_step.lower(params, opt_state, batch).compile() \
+            .cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get('flops', 0.0))
+        if flops_per_step > 0:
+            mfu_bf16_peak = flops_per_step / dt / 197e12
+    except Exception:
+        pass
+
+    # epoch-level throughput INCLUDING the input pipeline: loader
+    # shuffle + collate + H2D per batch, as a user-visible epoch sees it
+    from sevennet_finetuning_tpu.data.dataset import GraphDataset, Loader
+
+    ds = GraphDataset(graphs * 12)   # 120 structures
+    loader = Loader(ds, BATCH, shuffle=True, seed=0)
+    for b in loader:   # one warmup pass compiles this loader's shapes
+        b = {k: jnp.asarray(v) for k, v in b.items()
+             if k not in (K.INFO, K.USER_LABEL)}
+        params, opt_state, total = train_step(params, opt_state, b)
+    jax.block_until_ready(total)
+    t0 = time.time()
+    n_epoch_edges = 0
+    for b in loader:
+        n_epoch_edges += int(b[K.EDGE_MASK].sum())
+        b = {k: jnp.asarray(v) for k, v in b.items()
+             if k not in (K.INFO, K.USER_LABEL)}
+        params, opt_state, total = train_step(params, opt_state, b)
+    jax.block_until_ready(total)
+    epoch_s = time.time() - t0
+    epoch_edges_per_s = n_epoch_edges / epoch_s
+
     edges_per_s = n_edges_real / dt
     ref_edges_per_s = n_edges_real / 0.186  # reference GPU step time
     print(json.dumps({
@@ -144,6 +183,13 @@ def main():
             'edges_per_batch': int(n_edges_real),
             'batch': BATCH,
             'loss': float(total),
+            'flops_per_step': flops_per_step,
+            'mfu_vs_bf16_peak': None if mfu_bf16_peak is None
+            else round(mfu_bf16_peak, 4),
+            'epoch_edges_per_s_with_input_pipeline':
+                round(epoch_edges_per_s, 1),
+            'epoch_s_120_structs': round(epoch_s, 3),
+            'profile': 'tools/profile_step.py output in PROFILE.md',
         },
     }))
 

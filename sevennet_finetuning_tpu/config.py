@@ -163,6 +163,7 @@ DEFAULT_DATA_CONFIG: Dict[str, Any] = {
     K.MEM_RATIO: 1.0,
     K.SHIFT: 'per_atom_energy_mean',
     K.SCALE: 'force_rms',
+    K.STANDARDIZE_RADIAL_EMBEDDING: False,
 }
 
 DATA_CONFIG_CONDITION: Dict[str, Any] = {

@@ -174,3 +174,6 @@ CONV_DENOMINATOR_CP: Final[str] = 'conv_denominator_cp'
 _CUSTOM_INTERACTION_BLOCK_CALLBACK: Final[str] = (
     '_custom_interaction_block_callback'
 )
+STANDARDIZE_RADIAL_EMBEDDING: Final[str] = 'standardize_radial_embedding'
+_RADIAL_WEIGHT_SHIFT: Final[str] = '_radial_weight_shift'
+_RADIAL_WEIGHT_SCALE: Final[str] = '_radial_weight_scale'

@@ -82,6 +82,8 @@ def build_model_spec(config: Dict) -> ModelSpec:
         lmax_edge=lmax_edge,
         parity=parity,
         normalize_sph=config.get(K._NORMALIZE_SPH, True),
+        weight_shift=float(config.get(K._RADIAL_WEIGHT_SHIFT, 0.0)),
+        weight_scale=float(config.get(K._RADIAL_WEIGHT_SCALE, 1.0)),
     )
     irreps_filter = Irreps.spherical_harmonics(lmax_edge, parity)
 

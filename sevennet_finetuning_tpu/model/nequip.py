@@ -89,6 +89,11 @@ class EdgeEmbedSpec:
     lmax_edge: int = 1
     parity: int = -1                       # -1: E(3) (odd SH), +1: SE(3)
     normalize_sph: bool = True
+    # radial-embedding standardization: emb -> (emb - shift) * scale,
+    # applied after edge masking (reference: sevenn/scripts/train.py:45-66
+    # feeding weight_shift/weight_scale into every convolution)
+    weight_shift: float = 0.0
+    weight_scale: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -693,8 +698,12 @@ def energy_network(
     else:
         raise ValueError(es.cutoff_function)
     # padded edges are killed here once; the radial MLP maps 0 -> 0
-    # exactly (no biases), so their messages and gradients vanish
-    emb = basis * env[..., None] * data[K.EDGE_MASK][..., None]
+    # exactly (no biases), so their messages and gradients vanish.
+    # standardization happens INSIDE the mask so that invariant holds
+    emb = basis * env[..., None]
+    if es.weight_shift != 0.0 or es.weight_scale != 1.0:
+        emb = (emb - es.weight_shift) * es.weight_scale
+    emb = emb * data[K.EDGE_MASK][..., None]
     sh = spherical_harmonics(es.lmax_edge, normalize=es.normalize_sph)
     edge_attr = sh(edge_vec)
     out[K.EDGE_LENGTH] = r

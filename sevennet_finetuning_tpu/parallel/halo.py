@@ -397,7 +397,10 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
             env = poly_cutoff(r, es.cutoff, es.poly_cut_p)
         else:
             env = xplor_cutoff(r, es.cutoff, es.cutoff_on)
-        emb = basis * env[..., None] * edge_mask[..., None]
+        emb = basis * env[..., None]
+        if es.weight_shift != 0.0 or es.weight_scale != 1.0:
+            emb = (emb - es.weight_shift) * es.weight_scale
+        emb = emb * edge_mask[..., None]
         edge_attr = sh_fn(edge_vec)
         onehot = jax.nn.one_hot(atom_type, spec.num_species,
                                 dtype=edge_vec.dtype)

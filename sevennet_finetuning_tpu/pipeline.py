@@ -415,6 +415,17 @@ def train(config: Dict, working_dir: str = '.',
 
     resolve_statistics(config, train_set, logger, from_checkpoint=cp_stats)
 
+    # optional radial-embedding standardization (reference:
+    # sevenn/scripts/train.py:45-66,117-122): std/mean of bessel x cutoff
+    # over the train edges feed (emb - mean) * (1/std) into every conv
+    if config.get(K.STANDARDIZE_RADIAL_EMBEDDING):
+        mean, std = _radial_embedding_std_mean(config, train_set)
+        config[K._RADIAL_WEIGHT_SHIFT] = mean
+        config[K._RADIAL_WEIGHT_SCALE] = 1.0 / std
+        logger.writeline(
+            f'radial embedding standardized: mean {mean:.4f} std {std:.4f}'
+        )
+
     # -- model + trainer --------------------------------------------------
     spec = build_model_spec(config)
     params = init_params(spec, seed=seed)
@@ -512,6 +523,40 @@ def train(config: Dict, working_dir: str = '.',
                start_epoch=start_epoch)
     logger.close()
     return trainer
+
+
+def _radial_embedding_std_mean(config: Dict, train_set: GraphDataset
+                               ) -> Tuple[float, float]:
+    """(mean, std) of the radial embedding over every train edge, with
+    the initial bessel coefficients (reference:
+    sevenn/scripts/train.py:45-66)."""
+    import jax.numpy as jnp
+
+    from .model.build import build_model_spec
+    from .ops.radial import (
+        bessel_basis,
+        bessel_init,
+        poly_cutoff,
+        xplor_cutoff,
+    )
+
+    es = build_model_spec(config).edge
+    rs = []
+    for g in train_set.graphs:
+        pos = g[K.POS]
+        idx = g[K.EDGE_IDX]
+        cell = g[K.CELL].reshape(3, 3)
+        vec = pos[idx[1]] - pos[idx[0]] + g[K.CELL_SHIFT] @ cell
+        rs.append(np.linalg.norm(vec, axis=1))
+    r = jnp.asarray(np.concatenate(rs))
+    coeffs = jnp.asarray(bessel_init(es.cutoff, es.bessel_num))
+    basis = bessel_basis(r, coeffs, es.cutoff)
+    if es.cutoff_function == 'poly_cut':
+        env = poly_cutoff(r, es.cutoff, es.poly_cut_p)
+    else:
+        env = xplor_cutoff(r, es.cutoff, es.cutoff_on)
+    emb = basis * env[..., None]
+    return float(jnp.mean(emb)), float(jnp.std(emb))
 
 
 def _check_continue_compat(config: Dict, cp_config: Dict, cont: Dict,

@@ -156,3 +156,54 @@ def test_pipeline_trains_from_sevenn_data(tmp_path, hfo2):
     t = load_sevenn_data(os.path.join(wd, 'train.sevenn_data'))
     v = load_sevenn_data(os.path.join(wd, 'valid.sevenn_data'))
     assert len(t) + len(v) == 6
+
+
+def test_radial_standardization(tmp_path, hfo2):
+    """standardize_radial_embedding feeds (emb-mean)/std into the convs
+    (reference: sevenn/scripts/train.py:45-66,117-122); padded-edge
+    messages must still vanish."""
+    import jax.numpy as jnp
+
+    from sevennet_finetuning_tpu.model.build import build_model_spec
+    from sevennet_finetuning_tpu.model.graph import (
+        collate,
+        structure_to_graph,
+    )
+    from sevennet_finetuning_tpu.model.nequip import (
+        apply_model,
+        init_params,
+    )
+    from sevennet_finetuning_tpu.pipeline import train
+
+    structs, tm = hfo2
+    cfg = {
+        K.LOAD_DATASET: None, K.CUTOFF: 4.0,
+        K.NODE_FEATURE_MULTIPLICITY: 4, K.LMAX: 1, K.NUM_CONVOLUTION: 2,
+        K.IS_PARITY: False,
+        K.EPOCH: 1, K.PER_EPOCH: 1, K.BATCH_SIZE: 2, K.RATIO: 0.5,
+        K.OPTIMIZER: 'adam', K.OPTIM_PARAM: {'lr': 1e-3},
+        K.ERROR_RECORD: [['Energy', 'MAE'], ['TotalLoss', 'None']],
+        K.STANDARDIZE_RADIAL_EMBEDDING: True,
+    }
+    trainer = train(cfg, working_dir=str(tmp_path / 'run'),
+                    structures=structs * 2)
+    assert cfg[K._RADIAL_WEIGHT_SCALE] != 1.0
+    assert trainer.spec.edge.weight_scale == cfg[K._RADIAL_WEIGHT_SCALE]
+
+    # padded-edge invariance: adding edge padding must not change energy
+    spec = build_model_spec(cfg)
+    params = init_params(spec, 0)
+    g = structure_to_graph(structs[1], 4.0, tm)
+    ne = g[K.EDGE_IDX].shape[1]
+    b1 = collate([g], n_node=len(structs[1]), n_edge=ne, n_graph=1)
+    b2 = collate([g], n_node=len(structs[1]), n_edge=ne + 64, n_graph=1)
+    o1 = apply_model(spec, params,
+                     {k: jnp.asarray(v) for k, v in b1.items()
+                      if k not in (K.INFO, K.USER_LABEL)})
+    o2 = apply_model(spec, params,
+                     {k: jnp.asarray(v) for k, v in b2.items()
+                      if k not in (K.INFO, K.USER_LABEL)})
+    np.testing.assert_allclose(
+        np.asarray(o1[K.PRED_TOTAL_ENERGY]),
+        np.asarray(o2[K.PRED_TOTAL_ENERGY]), rtol=1e-6,
+    )
