@@ -257,6 +257,7 @@ class Loader:
         n_shards: int = 1,
         n_local_shards: Optional[int] = None,
         shard_offset: int = 0,
+        n_graph: Optional[int] = None,
     ):
         self.graphs = dataset.graphs
         self.batch_size = batch_size
@@ -281,7 +282,9 @@ class Loader:
         else:
             self.n_node = n_node
             self.n_edge = n_edge
-        self.n_graph = batch_size
+        # n_graph may exceed batch_size so loaders over different sets
+        # can share ONE compiled step shape (collate pads graph slots)
+        self.n_graph = max(batch_size, n_graph or 0)
 
     def _worst_batch_total(self, vals: np.ndarray) -> int:
         """Upper bound of sum(vals[i] for i in batch) over any batch the

@@ -489,13 +489,8 @@ def train(config: Dict, working_dir: str = '.',
 
     # -- loaders ----------------------------------------------------------
     batch_size = config.get(K.BATCH_SIZE, 6)
-    train_loader = Loader(train_set, batch_size,
-                          shuffle=config.get(K.TRAIN_SHUFFLE, True),
-                          seed=seed, data_weights=data_weights, **shard_kw)
-    valid_loader = Loader(valid_set, batch_size, data_weights=data_weights,
-                          **shard_kw)
 
-    mem_loader = None
+    mem_set = None
     if config.get(K.REHEARSAL) and config.get(K.LOAD_MEMORY):
         mem_set = load_dataset(config, K.LOAD_MEMORY, cutoff, tm,
                                n_cores=n_cores)
@@ -506,9 +501,32 @@ def train(config: Dict, working_dir: str = '.',
             mem_set = GraphDataset(
                 [mem_set.graphs[i] for i in idx[:n_keep]]
             )
-        mem_loader = Loader(mem_set, config.get(K.MEM_BATCH_SIZE, 1),
-                            shuffle=True, seed=seed, **shard_kw)
         logger.writeline(f'rehearsal memory: {len(mem_set)} structures')
+
+    # one padded shape across train/valid/memory: a single compiled
+    # train step serves every loader (each extra shape costs a full XLA
+    # compile of the double-backprop graph -- minutes at SevenNet scale)
+    mem_batch = config.get(K.MEM_BATCH_SIZE, 1)
+    probes = [Loader(train_set, batch_size), Loader(valid_set, batch_size)]
+    if mem_set is not None:
+        probes.append(Loader(mem_set, mem_batch))
+    shape_kw = dict(
+        n_node=max(p.n_node for p in probes),
+        n_edge=max(p.n_edge for p in probes),
+        n_graph=max(p.n_graph for p in probes),
+    )
+
+    train_loader = Loader(train_set, batch_size,
+                          shuffle=config.get(K.TRAIN_SHUFFLE, True),
+                          seed=seed, data_weights=data_weights,
+                          **shape_kw, **shard_kw)
+    valid_loader = Loader(valid_set, batch_size, data_weights=data_weights,
+                          **shape_kw, **shard_kw)
+
+    mem_loader = None
+    if mem_set is not None:
+        mem_loader = Loader(mem_set, mem_batch, shuffle=True, seed=seed,
+                            **shape_kw, **shard_kw)
 
     # -- epoch loop -------------------------------------------------------
     # epoch numbering continues from the checkpoint unless reset
