@@ -22,16 +22,12 @@ from ..train.metrics import STRESS_COEFF_KBAR
 
 
 def _load_inputs(paths: Sequence[str]) -> List[Structure]:
-    out: List[Structure] = []
-    for p in paths:
-        if p.endswith('structure_list'):
-            for label, structs in read_structure_list(p).items():
-                for s in structs:
-                    s.info['label'] = label
-                out.extend(structs)
-        else:
-            out.extend(read_outcar(p))
-    return out
+    """All reader formats the pipeline knows: structure_list, OUTCAR,
+    POSCAR, extxyz, .sevenn_data (reference inference accepts the same
+    family, sevenn/scripts/inference.py:185-240)."""
+    from ..pipeline import load_structures
+
+    return load_structures({K.LOAD_DATASET: list(paths)})
 
 
 def inference_main(
@@ -121,6 +117,21 @@ def inference_main(
         f.write(f'Stress MAE  (kbar):    {_mae(ae_s):.6f}\n')
 
     import csv
+
+    # provenance of each row in per_graph.csv (reference writes the
+    # same info.csv, sevenn/scripts/inference.py:95-130)
+    with open(os.path.join(output_dir, 'info.csv'), 'w',
+              newline='') as f:
+        w = csv.DictWriter(f, fieldnames=['idx', 'file', 'label',
+                                          'natoms'])
+        w.writeheader()
+        for i, s in enumerate(structures):
+            w.writerow({
+                'idx': i,
+                'file': s.info.get('file', ''),
+                'label': s.info.get('label', K.LABEL_NONE),
+                'natoms': len(s),
+            })
 
     with open(os.path.join(output_dir, 'per_graph.csv'), 'w',
               newline='') as f:
