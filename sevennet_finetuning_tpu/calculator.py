@@ -152,3 +152,52 @@ class Calculator:
 
     def get_stress(self, s: Structure) -> np.ndarray:
         return self.calculate(s)['stress']
+
+
+class SevenNetASECalculator:
+    """ase.calculators adapter over :class:`Calculator` (the reference's
+    SevenNetCalculator surface, reference: sevenn/sevennet_calculator.py:
+    17-157).  Imported lazily: only usable where ase is installed."""
+
+    implemented_properties = ('energy', 'energies', 'forces', 'stress',
+                              'free_energy')
+
+    def __init__(self, model, **kwargs):
+        from ase.calculators.calculator import Calculator as AseBase
+
+        if isinstance(model, str):
+            model = Calculator.from_checkpoint(model)
+        self._inner = model
+
+        outer = self
+
+        class _Impl(AseBase):
+            implemented_properties = list(
+                SevenNetASECalculator.implemented_properties
+            )
+
+            def calculate(self, atoms=None, properties=('energy',),
+                          system_changes=None):
+                super().calculate(atoms, properties, system_changes)
+                s = Structure(
+                    species=list(atoms.get_chemical_symbols()),
+                    pos=np.asarray(atoms.get_positions(), float),
+                    cell=np.asarray(atoms.get_cell()[:], float),
+                    pbc=tuple(bool(p) for p in atoms.get_pbc()),
+                )
+                res = outer._inner.calculate(s)
+                self.results = {
+                    'energy': float(res['energy']),
+                    'free_energy': float(res['energy']),
+                    'energies': np.asarray(res['energies']),
+                    'forces': np.asarray(res['forces']),
+                    # ase Voigt order xx yy zz yz xz xy, sign flipped
+                    'stress': -np.asarray(res['stress'])[
+                        [0, 1, 2, 4, 5, 3]
+                    ],
+                }
+
+        self.ase_calculator = _Impl(**kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self.ase_calculator, name)
