@@ -148,6 +148,7 @@ TRAINING_CONFIG_CONDITION: Dict[str, Any] = {
 
 DEFAULT_DATA_CONFIG: Dict[str, Any] = {
     K.DATA_FORMAT: 'structure_list',
+    K.DATA_FORMAT_ARGS: {},
     K.RATIO: 0.1,
     K.BATCH_SIZE: 6,
     K.PREPROCESS_NUM_CORES: 1,
@@ -168,6 +169,7 @@ DEFAULT_DATA_CONFIG: Dict[str, Any] = {
 
 DATA_CONFIG_CONDITION: Dict[str, Any] = {
     K.DATA_FORMAT: str,
+    K.DATA_FORMAT_ARGS: dict,
     K.RATIO: float,
     K.BATCH_SIZE: int,
     K.PREPROCESS_NUM_CORES: int,

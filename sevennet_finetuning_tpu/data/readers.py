@@ -55,6 +55,50 @@ def read_poscar(path: str) -> Structure:
                      info={'file': path})
 
 
+def read_ase(path: str, **fmt_args) -> List[Structure]:
+    """Arbitrary-format reader through ``ase.io.read`` (the reference's
+    default dispatch for unknown formats with ``data_format_args``
+    passthrough, reference: sevenn/train/dataload.py:330-344).  Lazy ase
+    import: only usable where ase is installed."""
+    import ase.io
+
+    fmt_args.setdefault('index', ':')
+    atoms_list = ase.io.read(path, **fmt_args)
+    if not isinstance(atoms_list, list):
+        atoms_list = [atoms_list]
+    out: List[Structure] = []
+    for atoms in atoms_list:
+        energy = forces = stress = None
+        try:
+            energy = float(atoms.get_potential_energy(force_consistent=True))
+        except Exception:
+            try:
+                energy = float(atoms.get_potential_energy())
+            except Exception:
+                pass
+        try:
+            forces = np.asarray(atoms.get_forces(apply_constraint=False),
+                                float)
+        except Exception:
+            pass
+        try:
+            # ase Voigt (xx yy zz yz xz xy) -> ours (xx yy zz xy yz zx),
+            # sign flipped (reference: sevenn/train/dataload.py:104-105)
+            sv = np.asarray(atoms.get_stress(voigt=True), float)
+            stress = -sv[[0, 1, 2, 5, 3, 4]]
+        except Exception:
+            pass
+        out.append(Structure(
+            species=list(atoms.get_chemical_symbols()),
+            pos=np.asarray(atoms.get_positions(), float),
+            cell=np.asarray(atoms.get_cell()[:], float),
+            pbc=tuple(bool(p) for p in atoms.get_pbc()),
+            energy=energy, forces=forces, stress=stress,
+            info={'file': path},
+        ))
+    return out
+
+
 _KV_RE = re.compile(
     r'(\w+)=(?:"([^"]*)"|(\S+))'
 )

@@ -41,11 +41,21 @@ def _expand_paths(config: Dict, paths_key: str) -> List[str]:
     return paths
 
 
-def _read_file(path: str, fmt: str) -> List[Structure]:
+def _read_file(path: str, fmt: str,
+               fmt_args: Optional[Dict] = None) -> List[Structure]:
     """One data file -> labeled structures, dispatched on the file name
     first, then the configured data_format (reference reader matrix:
-    sevenn/train/dataload.py:157-300)."""
+    sevenn/train/dataload.py:157-300).  ``fmt_args`` passes through to
+    ``ase.io.read`` for data_format 'ase' (reference
+    ``data_format_args``)."""
     base = os.path.basename(path)
+    if fmt == 'ase':
+        from .data.readers import read_ase
+
+        structs = read_ase(path, **(fmt_args or {}))
+        for s in structs:
+            s.info['label'] = os.path.abspath(path)
+        return structs
     if 'structure_list' in base or fmt == 'structure_list' and \
             not ('OUTCAR' in base or 'POSCAR' in base or 'CONTCAR' in base
                  or base.endswith(('.xyz', '.extxyz'))):
@@ -80,6 +90,7 @@ def load_structures(config: Dict, paths_key: str = K.LOAD_DATASET
     """Load labeled structures per the data config (paths may glob).
     .sevenn_data artifacts contribute their stored structures."""
     fmt = config.get(K.DATA_FORMAT, 'structure_list')
+    fmt_args = config.get(K.DATA_FORMAT_ARGS) or {}
     out: List[Structure] = []
     for path in _expand_paths(config, paths_key):
         if path.endswith('.sevenn_data'):
@@ -92,7 +103,7 @@ def load_structures(config: Dict, paths_key: str = K.LOAD_DATASET
                 )
             out.extend(stored)
         else:
-            out.extend(_read_file(path, fmt))
+            out.extend(_read_file(path, fmt, fmt_args))
     return out
 
 
@@ -110,6 +121,7 @@ def load_dataset(
     from .data.dataset import load_sevenn_data
 
     fmt = config.get(K.DATA_FORMAT, 'structure_list')
+    fmt_args = config.get(K.DATA_FORMAT_ARGS) or {}
     out = GraphDataset()
     raw: List[Structure] = []
     for path in _expand_paths(config, paths_key):
@@ -117,7 +129,7 @@ def load_dataset(
             out.extend(load_sevenn_data(path, cutoff, type_map,
                                         n_cores=n_cores))
         else:
-            raw.extend(_read_file(path, fmt))
+            raw.extend(_read_file(path, fmt, fmt_args))
     if raw:
         out.extend(GraphDataset.from_structures(raw, cutoff, type_map,
                                                 n_cores=n_cores))
@@ -336,12 +348,13 @@ def train(config: Dict, working_dir: str = '.',
     prebuilt_paths: List[str] = []
     if structures is None:
         fmt = config.get(K.DATA_FORMAT, 'structure_list')
+        fmt_args = config.get(K.DATA_FORMAT_ARGS) or {}
         paths = _expand_paths(config, K.LOAD_DATASET)
         prebuilt_paths = [p for p in paths if p.endswith('.sevenn_data')]
         structures = []
         for path in paths:
             if not path.endswith('.sevenn_data'):
-                structures.extend(_read_file(path, fmt))
+                structures.extend(_read_file(path, fmt, fmt_args))
     if not structures and not prebuilt_paths:
         raise ValueError(
             f'no structures loaded — check data.{K.LOAD_DATASET} '

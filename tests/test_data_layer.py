@@ -207,3 +207,73 @@ def test_radial_standardization(tmp_path, hfo2):
         np.asarray(o1[K.PRED_TOTAL_ENERGY]),
         np.asarray(o2[K.PRED_TOTAL_ENERGY]), rtol=1e-6,
     )
+
+
+def test_ase_reader_with_stub(monkeypatch, tmp_path):
+    """data_format: 'ase' + data_format_args passthrough to ase.io.read
+    (reference: sevenn/train/dataload.py:330-344), exercised through a
+    stub ase module: checks kwargs forwarding and the Voigt
+    reorder/sign conversion to our stress convention."""
+    import sys
+    import types
+
+    seen = {}
+
+    class FakeAtoms:
+        def get_chemical_symbols(self):
+            return ['O', 'Hf']
+
+        def get_positions(self):
+            return np.array([[0.0, 0, 0], [1.5, 0, 0]])
+
+        def get_cell(self):
+            class C:
+                def __getitem__(self, _):
+                    return np.eye(3) * 5.0
+            return C()
+
+        def get_pbc(self):
+            return (True, True, True)
+
+        def get_potential_energy(self, force_consistent=False):
+            return -12.5
+
+        def get_forces(self, apply_constraint=True):
+            return np.array([[0.1, 0, 0], [-0.1, 0, 0]])
+
+        def get_stress(self, voigt=True):
+            # ase Voigt order (xx yy zz yz xz xy)
+            return np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+
+    def fake_read(path, **kwargs):
+        seen.update(kwargs)
+        return [FakeAtoms()]
+
+    fake_io = types.ModuleType('ase.io')
+    fake_io.read = fake_read
+    fake_ase = types.ModuleType('ase')
+    fake_ase.io = fake_io
+    monkeypatch.setitem(sys.modules, 'ase', fake_ase)
+    monkeypatch.setitem(sys.modules, 'ase.io', fake_io)
+
+    from sevennet_finetuning_tpu.pipeline import _read_file
+
+    structs = _read_file(str(tmp_path / 'traj.whatever'), 'ase',
+                         {'format': 'lammps-dump-text'})
+    assert seen == {'format': 'lammps-dump-text', 'index': ':'}
+    (s,) = structs
+    assert s.species == ['O', 'Hf']
+    assert s.energy == -12.5
+    np.testing.assert_allclose(s.forces[0], [0.1, 0, 0])
+    # ours: -(xx yy zz xy yz zx)
+    np.testing.assert_allclose(s.stress, [-1.0, -2.0, -3.0, -6.0, -4.0, -5.0])
+
+
+def test_data_format_args_config_key():
+    from sevennet_finetuning_tpu.config import (
+        DATA_CONFIG_CONDITION,
+        DEFAULT_DATA_CONFIG,
+    )
+
+    assert K.DATA_FORMAT_ARGS in DEFAULT_DATA_CONFIG
+    assert DATA_CONFIG_CONDITION[K.DATA_FORMAT_ARGS] is dict
