@@ -23,6 +23,10 @@ import numpy as np
 
 
 def main():
+    from sevennet_finetuning_tpu.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -55,6 +55,36 @@ def read_poscar(path: str) -> Structure:
                      info={'file': path})
 
 
+def write_extxyz(path: str, structures: List[Structure]) -> None:
+    """Write frames in the extended-XYZ dialect ``read_extxyz`` parses
+    (Lattice / Properties / energy / 6-component stress in the internal
+    convention)."""
+    with open(path, 'w') as f:
+        for s in structures:
+            f.write(f'{len(s)}\n')
+            lat = ' '.join(f'{x:.10f}' for x in np.asarray(s.cell).ravel())
+            kv = [f'Lattice="{lat}"']
+            props = 'species:S:1:pos:R:3'
+            if s.forces is not None:
+                props += ':forces:R:3'
+            kv.append(f'Properties={props}')
+            if s.energy is not None:
+                kv.append(f'energy={s.energy:.10f}')
+            if s.stress is not None:
+                kv.append('stress="' + ' '.join(
+                    f'{x:.10f}' for x in np.asarray(s.stress)) + '"')
+            kv.append('pbc="' + ' '.join(
+                'T' if p else 'F' for p in s.pbc) + '"')
+            f.write(' '.join(kv) + '\n')
+            for a in range(len(s)):
+                row = f'{s.species[a]} ' + ' '.join(
+                    f'{x:.10f}' for x in s.pos[a])
+                if s.forces is not None:
+                    row += ' ' + ' '.join(
+                        f'{x:.10f}' for x in s.forces[a])
+                f.write(row + '\n')
+
+
 def read_ase(path: str, **fmt_args) -> List[Structure]:
     """Arbitrary-format reader through ``ase.io.read`` (the reference's
     default dispatch for unknown formats with ``data_format_args``

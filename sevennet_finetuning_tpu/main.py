@@ -127,6 +127,9 @@ def cmd_graph_build(args):
 
 
 def main(argv=None):
+    from .jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog='sevennet-ft-tpu')
     sub = p.add_subparsers(dest='cmd', required=True)
 

@@ -277,3 +277,32 @@ def test_data_format_args_config_key():
 
     assert K.DATA_FORMAT_ARGS in DEFAULT_DATA_CONFIG
     assert DATA_CONFIG_CONDITION[K.DATA_FORMAT_ARGS] is dict
+
+
+def test_extxyz_write_read_roundtrip(tmp_path):
+    from sevennet_finetuning_tpu.data.readers import write_extxyz
+    from sevennet_finetuning_tpu.data.vasp import Structure
+
+    rng = np.random.default_rng(0)
+    structs = [
+        Structure(
+            species=['Hf', 'O', 'O'],
+            pos=rng.uniform(0, 5, (3, 3)),
+            cell=np.diag([5.0, 6.0, 7.0]),
+            energy=-27.5,
+            forces=rng.normal(size=(3, 3)),
+            stress=rng.normal(size=6) * 0.01,
+        )
+        for _ in range(3)
+    ]
+    p = str(tmp_path / 'rt.extxyz')
+    write_extxyz(p, structs)
+    back = read_extxyz(p)
+    assert len(back) == 3
+    for a, b in zip(structs, back):
+        assert b.species == a.species
+        np.testing.assert_allclose(b.pos, a.pos, atol=1e-9)
+        np.testing.assert_allclose(b.cell, a.cell, atol=1e-9)
+        assert abs(b.energy - a.energy) < 1e-9
+        np.testing.assert_allclose(b.forces, a.forces, atol=1e-9)
+        np.testing.assert_allclose(b.stress, a.stress, atol=1e-9)

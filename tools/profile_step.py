@@ -36,6 +36,10 @@ def main():
     ap.add_argument('--trace', default=None)
     args = ap.parse_args()
 
+    from sevennet_finetuning_tpu.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import optax
