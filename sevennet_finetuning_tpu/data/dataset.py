@@ -135,9 +135,18 @@ class GraphDataset:
                ) -> Tuple['GraphDataset', 'GraphDataset']:
         """(train, valid) split; valid fraction = ratio (reference:
         sevenn/train/dataset.py:187-236)."""
+        if ratio > 0.5:
+            raise ValueError('data_divide_ratio must not exceed 0.5')
         n = len(self.graphs)
         idx = np.random.default_rng(seed).permutation(n)
         n_valid = int(n * ratio)
+        if n_valid == 0:
+            raise ValueError(
+                f'validation split is empty ({n} structures x ratio '
+                f'{ratio}); add data, raise data_divide_ratio, or provide '
+                f'load_validset_path (reference: '
+                f'sevenn/train/dataset.py:205-209 raises the same way)'
+            )
         valid = [self.graphs[i] for i in idx[:n_valid]]
         train = [self.graphs[i] for i in idx[n_valid:]]
         return GraphDataset(train), GraphDataset(valid)

@@ -137,12 +137,38 @@ class VelocityVerlet:
         return 2 * self.kinetic_energy() / (dof * KB_EV)
 
     def run(self, n_steps: int, log_every: int = 1,
-            logger=None) -> MDResult:
+            logger=None, thermostat: Optional[Dict] = None,
+            seed: int = 0) -> MDResult:
+        """NVE by default.  ``thermostat=dict(kind='langevin', T=300,
+        gamma_fs=0.01)`` runs NVT via the BAOAB Langevin splitting (the
+        capability LAMMPS `fix langevin` provides in the reference's MD
+        examples; reference: example_inputs/md_serial_example/in.lmp runs
+        plain NVE, this is a superset)."""
+        rng = np.random.default_rng(seed)
+        gamma = c1 = sigma = None
+        if thermostat is not None:
+            if thermostat.get('kind', 'langevin') != 'langevin':
+                raise ValueError('only langevin thermostat is implemented')
+            gamma = float(thermostat.get('gamma_fs', 0.01))  # 1/fs
+            c1 = np.exp(-gamma * self.dt)
+            # v-scale noise: sqrt((1-c1^2) kT/m) in A/fs
+            sigma = np.sqrt(
+                (1.0 - c1 * c1) * KB_EV * float(thermostat['T'])
+                / self.masses * ACC_UNIT
+            )[:, None]
         f, e = self._forces_energy()
         for step in range(n_steps):
             a = f / self.masses[:, None] * ACC_UNIT
             self.vel += 0.5 * self.dt * a
-            self.s.pos += self.dt * self.vel
+            if thermostat is None:
+                self.s.pos += self.dt * self.vel
+            else:
+                # BAOAB: half drift, O-step (exact OU), half drift
+                self.s.pos += 0.5 * self.dt * self.vel
+                self.vel = c1 * self.vel + sigma * rng.normal(
+                    size=self.vel.shape
+                )
+                self.s.pos += 0.5 * self.dt * self.vel
             f, e = self._forces_energy()
             a = f / self.masses[:, None] * ACC_UNIT
             self.vel += 0.5 * self.dt * a

@@ -206,3 +206,28 @@ def test_calculator_roundtrip(tmp_path):
     assert out['stress'].shape == (6,)
     # zero net force (translation invariance)
     np.testing.assert_allclose(out['forces'].sum(0), 0.0, atol=1e-4)
+
+
+def test_md_langevin_thermostat_controls_temperature():
+    """BAOAB Langevin NVT drives the kinetic temperature to the target
+    from a cold start (NVE would stay near 0 K for a near-equilibrium
+    structure)."""
+    from sevennet_finetuning_tpu.calculator import Calculator
+    from sevennet_finetuning_tpu.md import VelocityVerlet
+
+    s = _structure(n=24, seed=3, a=9.0)
+    spec, params = _model({8: 0, 14: 1})
+    calc = Calculator(spec, params)
+
+    md = VelocityVerlet(s, calc, dt_fs=2.0)
+    T_target = 600.0
+    md.run(60, thermostat=dict(kind='langevin', T=T_target,
+                               gamma_fs=0.5), seed=1)
+    # strong coupling, small system: settle within a broad band of target
+    T_late = np.mean(md.result.temperatures[-20:])
+    assert 0.4 * T_target < T_late < 1.8 * T_target, T_late
+
+    # NVE control from the same cold start stays cold
+    md2 = VelocityVerlet(s, calc, dt_fs=2.0)
+    md2.run(20)
+    assert np.mean(md2.result.temperatures[-5:]) < 0.2 * T_target
