@@ -8,6 +8,7 @@ example_inputs/training/input_full.yaml + sevenn/main/sevenn.py).
 
 import csv
 import os
+import textwrap
 
 import pytest
 import yaml
@@ -238,3 +239,48 @@ def test_deploy_artifact_is_pickle_free(tmp_path):
     )
     cli_main(['train', y2, '-w', str(tmp_path / 'run2')])
     assert os.path.exists(tmp_path / 'run2' / 'log.csv')
+
+
+def test_inference_cli_writes_artifacts(tmp_path):
+    """main.py train -> checkpoint -> main.py inference: errors.txt,
+    info.csv, per_graph.csv, per_atom.csv all written and parseable
+    (reference: sevenn/scripts/inference.py:185-291)."""
+    import csv as _csv
+
+    yml = tmp_path / 'in.yaml'
+    yml.write_text(textwrap.dedent('''
+        model:
+            chemical_species: 'auto'
+            cutoff: 4.0
+            channel: 4
+            lmax: 1
+            num_convolution_layer: 2
+        train:
+            epoch: 1
+            per_epoch: 1
+            error_record:
+                - ['Energy', 'MAE']
+                - ['TotalLoss', 'None']
+        data:
+            batch_size: 2
+            data_divide_ratio: 0.25
+            load_dataset_path:
+                - '/root/reference/example_inputs/data/label_1/OUTCAR_*'
+    '''))
+    run = tmp_path / 'run'
+    cli_main(['train', str(yml), '-w', str(run)])
+    ckpt = run / 'checkpoint_1.pth'
+    assert ckpt.exists()
+
+    out = tmp_path / 'infer'
+    cli_main(['inference', str(ckpt),
+          '/root/reference/example_inputs/data/label_2/OUTCAR_6',
+          '-o', str(out)])
+    for f in ('errors.txt', 'info.csv', 'per_graph.csv', 'per_atom.csv'):
+        assert (out / f).exists(), f
+    with open(out / 'per_graph.csv') as f:
+        rows = list(_csv.DictReader(f))
+    assert rows and 'energy' in rows[0] and 'ref_energy' in rows[0]
+    with open(out / 'per_atom.csv') as f:
+        arows = list(_csv.DictReader(f))
+    assert arows and any('f' in k.lower() for k in arows[0])
