@@ -147,3 +147,38 @@ def test_gaunt_requires_parity():
     }
     with pytest.raises(ValueError):
         build_model_spec(cfg)
+
+
+@pytest.mark.parametrize('itype', ['gaunt_gate', 'gaunt'])
+def test_gaunt_halo_parallel(itype):
+    """Serial == spatially-decomposed agreement for the Gaunt-FFT
+    interaction types (the same contract the nequip/mace halo tests
+    assert; reference analogue:
+    pretrained_potentials/SevenNet_0__11July2024/README.md:29-30)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sevennet_finetuning_tpu.parallel.halo import (
+        SP_AXIS,
+        build_halo_plan,
+        gather_forces,
+        make_halo_forward,
+        scatter_positions,
+    )
+
+    s, spec, params, b = _gaunt_model(itype)
+    out = apply_model(spec, params, b)
+    e_ser = float(out[K.PRED_TOTAL_ENERGY][0])
+    f_ser = np.asarray(out[K.PRED_FORCE][:len(s)])
+
+    plan = build_halo_plan(s, spec.cutoff, dict(spec.type_map), 2)
+    mesh = Mesh(np.array(jax.devices()[:2]), (SP_AXIS,))
+    pj = jax.tree_util.tree_map(jnp.asarray, params)
+    fwd = make_halo_forward(spec, pj, plan, mesh)
+    pos = jax.device_put(
+        jnp.asarray(scatter_positions(plan, s.pos.astype(np.float32))),
+        NamedSharding(mesh, P(SP_AXIS)),
+    )
+    e, f, _ = fwd(pos)
+    assert abs(float(e) - e_ser) < 1e-3 * max(1, abs(e_ser))
+    np.testing.assert_allclose(gather_forces(plan, f), f_ser, atol=1e-4)
