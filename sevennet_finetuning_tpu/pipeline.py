@@ -263,7 +263,8 @@ def train(config: Dict, working_dir: str = '.',
     ``structures`` optionally bypasses file loading (tests/embedding).
     """
     os.makedirs(working_dir, exist_ok=True)
-    logger = Logger(os.path.join(working_dir, 'log.sevenn'))
+    logger = Logger(os.path.join(working_dir, 'log.sevenn'),
+                    rank=_process_rank())
     logger.greeting()
     seed = config.get(K.RANDOM_SEED, 1)
     np.random.seed(seed)
@@ -556,6 +557,18 @@ def train(config: Dict, working_dir: str = '.',
     return trainer
 
 
+def _process_rank() -> int:
+    """Rank for rank-0-only logging/artifacts (0 when single-process;
+    the reference gates the same way on dist.get_rank(), reference:
+    sevenn/sevenn_logger.py:25-40)."""
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 def _radial_embedding_std_mean(config: Dict, train_set: GraphDataset
                                ) -> Tuple[float, float]:
     """(mean, std) of the radial embedding over every train edge, with
@@ -718,6 +731,8 @@ def run_epochs(
             row.update({f'memory_{k}': v for k, v in mem_m.items()})
         logger.append_csv(row)
 
+        if _process_rank() != 0:
+            continue  # rank-0-only checkpoint writes (multi-host)
         ckpt = trainer.get_checkpoint_dict()
         if best_metric_val is not None and best_metric_val < best:
             best = best_metric_val

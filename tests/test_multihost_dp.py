@@ -66,7 +66,7 @@ cfg = {
     K.IS_DDP: True,
     K.ERROR_RECORD: [['Energy', 'MAE'], ['TotalLoss', 'None']],
 }
-wd = sys.argv[3] + f'/rank{sys.argv[2]}'
+wd = sys.argv[3] + '/shared'  # SAME dir on both ranks: rank-0-only writes
 trainer = train(cfg, working_dir=wd, structures=structs)
 assert trainer.dp, 'expected the data-parallel trainer path'
 print('RANK', sys.argv[2], 'FINAL_PARAM_SUM',
@@ -109,5 +109,8 @@ def test_two_process_dp_training(tmp_path):
         sums.append(float(line.split()[-1]))
     np.testing.assert_allclose(sums[0], sums[1], rtol=1e-6)
 
-    # rank 0 wrote the artifacts
-    assert (tmp_path / 'rank0' / 'log.csv').exists()
+    # rank 0 wrote the artifacts into the shared dir without collision
+    shared = tmp_path / 'shared'
+    assert (shared / 'log.csv').exists()
+    assert (shared / 'log.sevenn').exists()
+    assert (shared / 'checkpoint_2.pth').exists()
