@@ -171,6 +171,28 @@ def main():
 
     print(f'L0 radial MLP:         {timeit(radial_only, wp, emb):8.3f} ms')
     print(f'L0 MLP+TP+scatter:     {timeit(conv_only, wp, x, ea, emb):8.3f} ms')
+
+    # the aggregation alone: Pallas sorted-segment-sum vs XLA scatter-add
+    from sevennet_finetuning_tpu.ops.pallas_scatter import segment_sum_sorted
+
+    mid = jnp.asarray(
+        rng.normal(size=(n_edge, blk.conv_tp.irreps_out.dim)), jnp.float32)
+    dst_sorted = jnp.sort(dst)
+
+    @jax.jit
+    def scatter_pallas(m, d):
+        return segment_sum_sorted(m, d, n_node)
+
+    @jax.jit
+    def scatter_xla(m, d):
+        return jax.ops.segment_sum(m, d, num_segments=n_node,
+                                   indices_are_sorted=True)
+
+    if jax.default_backend() == 'tpu':
+        print(f'L0 scatter (pallas):   '
+              f'{timeit(scatter_pallas, mid, dst_sorted):8.3f} ms')
+    print(f'L0 scatter (xla):      '
+          f'{timeit(scatter_xla, mid, dst_sorted):8.3f} ms')
     print(f'L0 tp weight_numel={blk.conv_tp.weight_numel} '
           f'mid_dim={blk.conv_tp.irreps_out.dim} in={blk.conv_tp.irreps_in1.dim}')
 
