@@ -153,6 +153,7 @@ DEFAULT_DATA_CONFIG: Dict[str, Any] = {
     K.BATCH_SIZE: 6,
     K.PREPROCESS_NUM_CORES: 1,
     K.DATA_SHUFFLE: True,
+    K.CACHE_BATCHES: True,
     K.SAVE_DATASET: False,
     K.SAVE_BY_LABEL: False,
     K.SAVE_BY_TRAIN_VALID: False,
@@ -174,15 +175,47 @@ DATA_CONFIG_CONDITION: Dict[str, Any] = {
     K.BATCH_SIZE: int,
     K.PREPROCESS_NUM_CORES: int,
     K.DATA_SHUFFLE: bool,
+    K.CACHE_BATCHES: bool,
     K.REHEARSAL: bool,
     K.MEM_BATCH_SIZE: int,
     K.MEM_RATIO: float,
 }
 
 
+# deprecated key -> (replacement key or None, extra message); applied
+# warn-and-rewrite before validation so old reference YAMLs keep their
+# settings (reference: sevenn/parse_input.py:84-106)
+_DEPRECATED_KEYS: Dict[str, Tuple[Union[str, None], str]] = {
+    'avg_num_neigh': (
+        K.CONV_DENOMINATOR,
+        "use 'conv_denominator' (the value is carried over)",
+    ),
+    'train_avg_num_neigh': (
+        K.TRAIN_DENOMINATOR,
+        "use 'train_denominator' (the value is carried over)",
+    ),
+    'optimize_by_reduce': (None, 'always true; the key is ignored'),
+}
+
+
+def _apply_deprecations(user: Dict, section: str) -> Dict:
+    out = dict(user or {})
+    for old, (new, msg) in _DEPRECATED_KEYS.items():
+        if old not in out:
+            continue
+        warnings.warn(
+            f"{section} key '{old}' is deprecated: {msg}", UserWarning
+        )
+        val = out.pop(old)
+        if new is not None and new not in out:
+            out[new] = val
+    return out
+
+
 def _init_section(
     user: Dict, defaults: Dict, conditions: Dict, section: str
 ) -> Dict:
+    user = _apply_deprecations(user, section)
     out = dict(defaults)
     for key, val in (user or {}).items():
         if key not in defaults and key not in conditions:

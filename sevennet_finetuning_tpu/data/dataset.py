@@ -183,11 +183,37 @@ def load_sevenn_data(
     type_map: Optional[Dict[int, int]] = None,
     n_cores: int = 1,
 ) -> GraphDataset:
-    """Load a .sevenn_data artifact.  Uses the stored graphs when the
-    requested cutoff/type-map match (or are unspecified); rebuilds from
-    the stored structures otherwise; errors if a rebuild is needed but
-    the artifact carries no structures."""
+    """Load a .sevenn_data artifact -- ours (npz-style pickle blob) or a
+    REFERENCE-produced one (torch.save of AtomGraphDataset; imported
+    best-effort via compat.sevenn_data_import and rebuilt with our
+    neighbor list).  Uses the stored graphs when the requested
+    cutoff/type-map match (or are unspecified); rebuilds from the stored
+    structures otherwise; errors if a rebuild is needed but the artifact
+    carries no structures."""
     import pickle
+
+    from ..compat.sevenn_data_import import is_reference_sevenn_data
+
+    if is_reference_sevenn_data(path):
+        from ..compat.sevenn_data_import import (
+            reference_sevenn_data_cutoff,
+            reference_sevenn_data_structures,
+        )
+
+        structures = reference_sevenn_data_structures(path)
+        cut = cutoff if cutoff is not None \
+            else reference_sevenn_data_cutoff(path)
+        if cut is None:
+            raise ValueError(f'{path}: no cutoff stored or requested')
+        if type_map is None:
+            from .elements import type_map_from_species
+
+            type_map = type_map_from_species(
+                {sp for s in structures for sp in s.species}
+            )
+        return GraphDataset.from_structures(
+            structures, float(cut), type_map, n_cores=n_cores
+        )
 
     with open(path, 'rb') as f:
         blob = pickle.load(f)
@@ -214,6 +240,15 @@ def load_sevenn_data(
 def sevenn_data_structures(path: str) -> Optional[List[Structure]]:
     """The raw structures stored in an artifact (None if absent)."""
     import pickle
+
+    from ..compat.sevenn_data_import import is_reference_sevenn_data
+
+    if is_reference_sevenn_data(path):
+        from ..compat.sevenn_data_import import (
+            reference_sevenn_data_structures,
+        )
+
+        return reference_sevenn_data_structures(path)
 
     with open(path, 'rb') as f:
         blob = pickle.load(f)
@@ -243,6 +278,11 @@ class Loader:
     Capacities are fixed at construction (max batch totals + headroom,
     bucketed) so every batch of an epoch compiles to the same shapes.
 
+    ``cache=True`` collates every batch once and replays them across
+    epochs (membership fixed after the first shuffled pass; only batch
+    ORDER reshuffles) -- the input-pipeline fast path the Trainer pairs
+    with a device-resident batch cache.
+
     Data parallelism: with ``n_shards > 1`` each emitted batch is a
     *stacked* batch with a leading shard axis of length
     ``n_local_shards`` -- the counterpart of the reference's
@@ -267,12 +307,15 @@ class Loader:
         n_local_shards: Optional[int] = None,
         shard_offset: int = 0,
         n_graph: Optional[int] = None,
+        cache: bool = False,
     ):
         self.graphs = dataset.graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.data_weights = data_weights
+        self.cache = cache
+        self._cached: Optional[List[Dict]] = None
         self.n_shards = int(n_shards)
         self.n_local_shards = (
             self.n_shards if n_local_shards is None else int(n_local_shards)
@@ -316,6 +359,32 @@ class Loader:
         return math.ceil(len(self.graphs) / self.batch_size)
 
     def __iter__(self) -> Iterator[Dict]:
+        if self.cache:
+            self.materialize()
+            for i in self.epoch_order():
+                yield self._cached[i]
+            return
+        yield from self._iter_fresh()
+
+    def materialize(self) -> List[Dict]:
+        """Collate every batch ONCE and keep them (shapes are static, so
+        the padded batches are reusable across epochs; VERDICT r2 item 3:
+        per-epoch re-collation serialized with the device step and cost
+        ~3.5x of step-level throughput).  Batch membership is fixed by
+        the first (shuffled) pass; later epochs reshuffle batch ORDER via
+        ``epoch_order``."""
+        if self._cached is None:
+            self._cached = list(self._iter_fresh())
+        return self._cached
+
+    def epoch_order(self) -> np.ndarray:
+        """Order in which this epoch visits the materialized batches."""
+        order = np.arange(len(self.materialize()))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def _iter_fresh(self) -> Iterator[Dict]:
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self.rng.shuffle(order)

@@ -55,10 +55,28 @@ def read_poscar(path: str) -> Structure:
                      info={'file': path})
 
 
+def _internal_stress_to_matrix(s: np.ndarray) -> np.ndarray:
+    """Internal 6-component stress (negated, xx yy zz xy yz zx order;
+    reference: sevenn/train/dataload.py:104-105) -> standard ASE 3x3
+    stress matrix in eV/A^3."""
+    s = np.asarray(s, float)
+    return -np.array([
+        [s[0], s[3], s[5]],
+        [s[3], s[1], s[4]],
+        [s[5], s[4], s[2]],
+    ])
+
+
+def _matrix_to_internal_stress(m: np.ndarray) -> np.ndarray:
+    return -np.array([m[0, 0], m[1, 1], m[2, 2],
+                      m[0, 1], m[1, 2], m[2, 0]])
+
+
 def write_extxyz(path: str, structures: List[Structure]) -> None:
-    """Write frames in the extended-XYZ dialect ``read_extxyz`` parses
-    (Lattice / Properties / energy / 6-component stress in the internal
-    convention)."""
+    """Write frames in standard extended XYZ (Lattice / Properties /
+    energy / 9-component ``stress=`` in the ASE convention, eV/A^3) --
+    interoperable with ase.io.read; ``read_extxyz`` converts back to the
+    internal (negated Voigt) convention on load."""
     with open(path, 'w') as f:
         for s in structures:
             f.write(f'{len(s)}\n')
@@ -71,8 +89,9 @@ def write_extxyz(path: str, structures: List[Structure]) -> None:
             if s.energy is not None:
                 kv.append(f'energy={s.energy:.10f}')
             if s.stress is not None:
+                m = _internal_stress_to_matrix(s.stress)
                 kv.append('stress="' + ' '.join(
-                    f'{x:.10f}' for x in np.asarray(s.stress)) + '"')
+                    f'{x:.10f}' for x in m.ravel()) + '"')
             kv.append('pbc="' + ' '.join(
                 'T' if p else 'F' for p in s.pbc) + '"')
             f.write(' '.join(kv) + '\n')
@@ -96,7 +115,15 @@ def read_ase(path: str, **fmt_args) -> List[Structure]:
     atoms_list = ase.io.read(path, **fmt_args)
     if not isinstance(atoms_list, list):
         atoms_list = [atoms_list]
+    return atoms_list_to_structures(atoms_list, path)
+
+
+def atoms_list_to_structures(atoms_list, path: str) -> List[Structure]:
+    """ase.Atoms frames -> labeled Structures (energy/forces/stress
+    pulled from each frame's calculator when present; warns when frames
+    come back unlabeled)."""
     out: List[Structure] = []
+    n_no_energy = n_no_forces = 0
     for atoms in atoms_list:
         energy = forces = stress = None
         try:
@@ -118,6 +145,8 @@ def read_ase(path: str, **fmt_args) -> List[Structure]:
             stress = -sv[[0, 1, 2, 5, 3, 4]]
         except Exception:
             pass
+        n_no_energy += energy is None
+        n_no_forces += forces is None
         out.append(Structure(
             species=list(atoms.get_chemical_symbols()),
             pos=np.asarray(atoms.get_positions(), float),
@@ -126,7 +155,39 @@ def read_ase(path: str, **fmt_args) -> List[Structure]:
             energy=energy, forces=forces, stress=stress,
             info={'file': path},
         ))
+    if n_no_energy or n_no_forces:
+        import warnings
+
+        warnings.warn(
+            f'{path}: {n_no_energy}/{len(out)} frames without energy, '
+            f'{n_no_forces}/{len(out)} without forces -- these cannot be '
+            'used as labeled training data (check data_format/calculator)'
+        )
     return out
+
+
+def read_atoms_pkl(path: str) -> List[Structure]:
+    """Pickled list of ase.Atoms (reference ``data_format: pkl``,
+    reference: sevenn/train/dataload.py:199-210).  Only unpickle files
+    you trust -- pickle executes arbitrary code by design."""
+    import pickle
+
+    with open(path, 'rb') as f:
+        atoms_list = pickle.load(f)
+    if not isinstance(atoms_list, list):
+        raise TypeError(f'{path}: pkl content is not a list')
+    try:
+        import ase
+
+        ok = not atoms_list or isinstance(atoms_list[0], ase.Atoms)
+    except ImportError:  # ase-free: accept Atoms-like duck types
+        ok = not atoms_list or all(
+            hasattr(atoms_list[0], m)
+            for m in ('get_positions', 'get_chemical_symbols', 'get_cell')
+        )
+    if not ok:
+        raise TypeError(f'{path}: pkl content is not a list of ase.Atoms')
+    return atoms_list_to_structures(atoms_list, path)
 
 
 _KV_RE = re.compile(
@@ -190,14 +251,12 @@ def read_extxyz(path: str) -> List[Structure]:
                 energy = float(kv[ekey])
                 break
         stress = None
-        if 'stress' in kv:  # 9-component row-major, eV/A^3
+        if 'stress' in kv:  # ASE convention on disk, eV/A^3
             sv = np.array([float(x) for x in kv['stress'].split()])
-            if sv.size == 9:
-                m = sv.reshape(3, 3)
-                stress = np.array([m[0, 0], m[1, 1], m[2, 2],
-                                   m[0, 1], m[1, 2], m[2, 0]])
-            elif sv.size == 6:
-                stress = sv
+            if sv.size == 9:  # row-major 3x3
+                stress = _matrix_to_internal_stress(sv.reshape(3, 3))
+            elif sv.size == 6:  # ASE Voigt (xx yy zz yz xz xy)
+                stress = -sv[[0, 1, 2, 5, 3, 4]]
         out.append(Structure(
             species=species, pos=pos, cell=cell, pbc=pbc, energy=energy,
             forces=forces, stress=stress, info={'file': path},

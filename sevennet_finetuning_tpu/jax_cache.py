@@ -29,6 +29,14 @@ def enable_persistent_cache() -> str | None:
         # cache everything that takes longer than a second to compile
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-    except Exception:
+    except Exception as exc:
+        import sys
+
+        print(
+            f'warning: persistent XLA compile cache disabled '
+            f'({cache_dir}): {exc!r} -- every run will pay full '
+            'recompilation',
+            file=sys.stderr,
+        )
         return None
     return cache_dir

@@ -163,6 +163,11 @@ BATCH_SIZE: Final[str] = 'batch_size'
 PREPROCESS_NUM_CORES: Final[str] = 'preprocess_num_cores'
 USE_TESTSET: Final[str] = 'use_testset'
 DATA_SHUFFLE: Final[str] = 'data_shuffle'
+# TPU-native input-pipeline fast path: collate once, keep batches
+# device-resident across epochs (no reference counterpart -- eager
+# PyTorch re-collates per epoch); False restores per-epoch membership
+# reshuffle at full re-collation cost
+CACHE_BATCHES: Final[str] = 'cache_batches'
 
 # saved statistics (postfixed _cp when coming from a checkpoint)
 AVG_NUM_NEIGH: Final[str] = 'avg_num_neigh'

@@ -140,16 +140,35 @@ class VelocityVerlet:
             logger=None, thermostat: Optional[Dict] = None,
             seed: int = 0) -> MDResult:
         """NVE by default.  ``thermostat=dict(kind='langevin', T=300,
-        gamma_fs=0.01)`` runs NVT via the BAOAB Langevin splitting (the
-        capability LAMMPS `fix langevin` provides in the reference's MD
-        examples; reference: example_inputs/md_serial_example/in.lmp runs
-        plain NVE, this is a superset)."""
+        gamma_per_fs=0.01)`` runs NVT via the BAOAB Langevin splitting
+        (the capability LAMMPS `fix langevin` provides in the reference's
+        MD examples; reference: example_inputs/md_serial_example/in.lmp
+        runs plain NVE, this is a superset).  The friction may be given
+        as a rate ``gamma_per_fs`` [1/fs] or a damping time ``tau_fs``
+        [fs] (= 1/gamma, the convention of LAMMPS `fix langevin`'s damp
+        argument); ``gamma_fs`` is a deprecated alias of
+        ``gamma_per_fs``."""
         rng = np.random.default_rng(seed)
         gamma = c1 = sigma = None
         if thermostat is not None:
             if thermostat.get('kind', 'langevin') != 'langevin':
                 raise ValueError('only langevin thermostat is implemented')
-            gamma = float(thermostat.get('gamma_fs', 0.01))  # 1/fs
+            if 'tau_fs' in thermostat:
+                gamma = 1.0 / float(thermostat['tau_fs'])
+            else:
+                gamma = float(
+                    thermostat.get(
+                        'gamma_per_fs', thermostat.get('gamma_fs', 0.01)
+                    )
+                )  # friction rate, 1/fs
+            if gamma * self.dt > 2.0:
+                import warnings
+
+                warnings.warn(
+                    f'langevin friction gamma*dt = {gamma * self.dt:.3g} '
+                    '> 2: extremely overdamped -- gamma_per_fs is a RATE '
+                    '(1/fs); pass tau_fs for a damping time in fs'
+                )
             c1 = np.exp(-gamma * self.dt)
             # v-scale noise: sqrt((1-c1^2) kT/m) in A/fs
             sigma = np.sqrt(

