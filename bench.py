@@ -45,11 +45,7 @@ def main():
     from sevennet_finetuning_tpu.data.elements import type_map_from_species
     from sevennet_finetuning_tpu.data.vasp import read_outcar
     from sevennet_finetuning_tpu.model.build import build_model_spec
-    from sevennet_finetuning_tpu.model.graph import (
-        bucket_capacity,
-        collate,
-        structure_to_graph,
-    )
+    from sevennet_finetuning_tpu.model.graph import structure_to_graph
     from sevennet_finetuning_tpu.model.nequip import (
         init_params,
         trainable_mask,
@@ -97,15 +93,21 @@ def main():
     spec = build_model_spec(cfg)
     params = init_params(spec, seed=0)
 
+    from sevennet_finetuning_tpu.data.dataset import GraphDataset, Loader
+
     graphs = [structure_to_graph(s, CUTOFF, tm) for s in structs]
-    reps = (BATCH + len(graphs) - 1) // len(graphs)
-    pool = (graphs * reps)[:BATCH]
-    n_edges_real = sum(g[K.EDGE_IDX].shape[1] for g in pool)
-    n_node = bucket_capacity(sum(len(g[K.POS]) for g in pool))
-    n_edge = bucket_capacity(n_edges_real)
-    batch = collate(pool, n_node=n_node, n_edge=n_edge, n_graph=BATCH)
+    # the epoch loader (cache=True -> size-balanced packing) fixes the
+    # static capacities; the timed batch is its fullest packed batch,
+    # so ONE compiled step serves both
+    ds = GraphDataset(graphs * 12)   # 120 structures
+    loader = Loader(ds, BATCH, shuffle=True, seed=0, cache=True)
+    t0 = time.time()
+    host_batches = loader.materialize()
+    collate_s = time.time() - t0   # paid once per run (batch cache)
+    fullest = max(host_batches, key=lambda b: b[K.EDGE_MASK].sum())
+    n_edges_real = int(fullest[K.EDGE_MASK].sum())
     batch = {
-        k: jnp.asarray(v) for k, v in batch.items()
+        k: jnp.asarray(v) for k, v in fullest.items()
         if k not in (K.INFO, K.USER_LABEL)
     }
 
@@ -144,7 +146,11 @@ def main():
     def time_step(step, n=20, rounds=3):
         meds = []
         for _ in range(rounds):
-            p, o, t = params, opt_state, None
+            # untimed warmup: switching executables costs a ~1.7s
+            # program reload through the tunnel; an epoch runs one
+            # executable continuously, so steady state is what counts
+            p, o, t = step(params, opt_state, batch)
+            jax.block_until_ready(t)
             t0 = time.time()
             for _ in range(n):
                 p, o, t = step(p, o, batch)
@@ -155,29 +161,23 @@ def main():
     dt = time_step(train_step)
     dt_xla = time_step(xla_step)
 
-    # XLA's own FLOP count for the compiled step -> model FLOPs
-    # utilization against the chip's bf16 peak (v5e: 197 TFLOP/s)
+    # XLA's own FLOP count for the compiled step.  NOTE: this counts
+    # padded edges and the bf16-pass expansion of HIGHEST-precision f32
+    # dots, so flops/dt can exceed the physical peak -- it is a
+    # consistency diagnostic across rounds, not an MFU claim.
     flops_per_step = None
-    mfu_bf16_peak = None
     try:
         cost = train_step.lower(params, opt_state, batch).compile() \
             .cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get('flops', 0.0))
-        if flops_per_step > 0:
-            mfu_bf16_peak = flops_per_step / dt / 197e12
     except Exception:
         pass
 
     # epoch-level throughput INCLUDING the input pipeline, as the
     # training pipeline runs it (Loader cache=True: collate once +
     # device-resident batches; first epoch pays collate + H2D)
-    from sevennet_finetuning_tpu.data.dataset import GraphDataset, Loader
-
-    ds = GraphDataset(graphs * 12)   # 120 structures
-    loader = Loader(ds, BATCH, shuffle=True, seed=0, n_node=n_node,
-                    n_edge=n_edge, cache=True)
     t0 = time.time()
     dev_batches = [
         {k: jnp.asarray(v) for k, v in b.items()
@@ -185,7 +185,7 @@ def main():
         for b in loader.materialize()
     ]
     jax.block_until_ready(dev_batches)
-    cold_s = time.time() - t0  # collate + H2D, paid once per run
+    cold_s = collate_s + (time.time() - t0)  # collate + H2D, once/run
 
     def run_epoch():
         nonlocal params, opt_state, total
@@ -226,9 +226,7 @@ def main():
             'edges_per_batch': int(n_edges_real),
             'batch': BATCH,
             'loss': float(total),
-            'flops_per_step': flops_per_step,
-            'mfu_vs_bf16_peak': None if mfu_bf16_peak is None
-            else round(mfu_bf16_peak, 4),
+            'xla_reported_flops_per_step': flops_per_step,
             'profile': 'PROFILE.md',
         },
     }))

@@ -100,6 +100,7 @@ DEFAULT_TRAINING_CONFIG: Dict[str, Any] = {
     K.IS_TRAIN_STRESS: True,
     K.TRAIN_SHUFFLE: True,
     K.REMAT: 'auto',
+    K.METRICS_EVERY: 1,
     K.ERROR_RECORD: [
         ['Energy', 'RMSE'],
         ['Force', 'RMSE'],
@@ -135,6 +136,7 @@ TRAINING_CONFIG_CONDITION: Dict[str, Any] = {
     K.IS_TRAIN_STRESS: bool,
     K.TRAIN_SHUFFLE: bool,
     K.REMAT: lambda x: x in ('auto', True, False),
+    K.METRICS_EVERY: int,
     K.CALC_FISHER: bool,
     K.LOSS_THR: float,
     K.IS_DDP: bool,

@@ -322,21 +322,65 @@ class Loader:
         )
         self.shard_offset = int(shard_offset)
 
+        # size-balanced packing: with fixed membership (cache=True) the
+        # batches are chosen to EQUALIZE per-batch node/edge totals
+        # (greedy first-fit decreasing), so the static padded capacity
+        # shrinks from "the batch_size largest graphs together" toward
+        # the mean -- on mixed-size datasets that is ~2x less padded
+        # compute per step.  Batch ORDER still reshuffles per epoch.
+        self._balanced_order: Optional[np.ndarray] = None
+        if cache and self.n_shards == 1 and len(self.graphs) > batch_size:
+            self._balanced_order = self._balance_membership()
+
         if n_node is None or n_edge is None:
             nodes = np.array([len(g[K.POS]) for g in self.graphs])
             edges = np.array([g[K.EDGE_IDX].shape[1] for g in self.graphs])
-            self.n_node = n_node or bucket_capacity(
-                self._worst_batch_total(nodes)
-            )
-            self.n_edge = n_edge or bucket_capacity(
-                self._worst_batch_total(edges)
-            )
+            if self._balanced_order is not None:
+                # exact maxima over the packed batches
+                self.n_node = n_node or bucket_capacity(
+                    self._packed_max(nodes))
+                self.n_edge = n_edge or bucket_capacity(
+                    self._packed_max(edges))
+            else:
+                self.n_node = n_node or bucket_capacity(
+                    self._worst_batch_total(nodes)
+                )
+                self.n_edge = n_edge or bucket_capacity(
+                    self._worst_batch_total(edges)
+                )
         else:
             self.n_node = n_node
             self.n_edge = n_edge
         # n_graph may exceed batch_size so loaders over different sets
         # can share ONE compiled step shape (collate pads graph slots)
         self.n_graph = max(batch_size, n_graph or 0)
+
+    def _balance_membership(self) -> np.ndarray:
+        """Pack graphs into batches of size ``batch_size`` equalizing
+        edge totals: sort descending by edge count, assign each graph to
+        the non-full batch with the smallest running total.  Returns a
+        permutation whose consecutive ``batch_size`` chunks are the
+        packed batches."""
+        edges = np.array([g[K.EDGE_IDX].shape[1] for g in self.graphs])
+        n = len(edges)
+        n_batches = math.ceil(n / self.batch_size)
+        slots = np.zeros(n_batches, np.int64)
+        totals = np.zeros(n_batches, np.int64)
+        members: List[List[int]] = [[] for _ in range(n_batches)]
+        for i in np.argsort(-edges):
+            open_b = np.flatnonzero(slots < self.batch_size)
+            j = open_b[np.argmin(totals[open_b])]
+            members[j].append(int(i))
+            slots[j] += 1
+            totals[j] += edges[i]
+        return np.concatenate([np.array(m, np.int64) for m in members])
+
+    def _packed_max(self, vals: np.ndarray) -> int:
+        order = self._balanced_order
+        mx = 0
+        for lo in range(0, len(order), self.batch_size):
+            mx = max(mx, int(vals[order[lo:lo + self.batch_size]].sum()))
+        return max(mx, 1)
 
     def _worst_batch_total(self, vals: np.ndarray) -> int:
         """Upper bound of sum(vals[i] for i in batch) over any batch the
@@ -374,7 +418,8 @@ class Loader:
         the first (shuffled) pass; later epochs reshuffle batch ORDER via
         ``epoch_order``."""
         if self._cached is None:
-            self._cached = list(self._iter_fresh())
+            self._cached = list(
+                self._iter_fresh(order=self._balanced_order))
         return self._cached
 
     def epoch_order(self) -> np.ndarray:
@@ -384,10 +429,12 @@ class Loader:
             self.rng.shuffle(order)
         return order
 
-    def _iter_fresh(self) -> Iterator[Dict]:
-        order = np.arange(len(self.graphs))
-        if self.shuffle:
-            self.rng.shuffle(order)
+    def _iter_fresh(self, order: Optional[np.ndarray] = None
+                    ) -> Iterator[Dict]:
+        if order is None:
+            order = np.arange(len(self.graphs))
+            if self.shuffle:
+                self.rng.shuffle(order)
         if self.n_shards > 1:
             yield from self._iter_sharded(order)
             return

@@ -124,6 +124,12 @@ RANK: Final[str] = 'rank'
 WORLD_SIZE: Final[str] = 'world_size'
 TRAIN_SHUFFLE: Final[str] = 'train_shuffle'
 REMAT: Final[str] = 'remat'  # 'auto' | True | False: checkpoint blocks
+# evaluate + fetch/log metrics only every K-th epoch (and the last).
+# K>1 skips the validation pass and every device->host metric fetch in
+# between -- the standard large-scale eval_every pattern; on tunneled
+# runtimes it also avoids the fetch-degraded dispatch mode.  No
+# reference counterpart (it logs every epoch).
+METRICS_EVERY: Final[str] = 'metrics_every'
 
 CONTINUE: Final[str] = 'continue'
 CHECKPOINT: Final[str] = 'checkpoint'

@@ -7,6 +7,17 @@ self-contained integrator.  Forces come either from the single-device
 Calculator or from the spatially-decomposed halo forward
 (parallel.halo); the neighbor list / halo plan is rebuilt whenever any
 atom moves more than half the skin distance.
+
+Two execution modes:
+- ``run``: host loop, one force evaluation (and one device round-trip)
+  per step -- general, supports thermostats and the halo path.
+- ``run_device``: the TPU-native fast path -- the WHOLE multi-step NVE
+  integration runs as one jitted ``lax.scan`` segment on device (the
+  neighbor list, built at cutoff+skin, stays valid while no atom moved
+  more than skin/2; the envelope clamps r>cutoff edges to zero).  The
+  host fetches state once per segment instead of once per step, which
+  on tunneled runtimes is the difference between ~1 force-eval per RTT
+  and none (see memory: axon fetch poisoning).
 """
 
 from __future__ import annotations
@@ -135,6 +146,155 @@ class VelocityVerlet:
     def temperature(self) -> float:
         dof = 3 * len(self.s.pos) - 3
         return 2 * self.kinetic_energy() / (dof * KB_EV)
+
+    def run_device(self, n_steps: int, seg_steps: int = 50,
+                   logger=None) -> MDResult:
+        """NVE with the whole integration loop on device: jitted
+        ``lax.scan`` segments of up to ``seg_steps`` velocity-Verlet
+        steps each, ending early (frozen lanes) when any atom has moved
+        more than skin/2 since the segment's neighbor build.  Requires a
+        single-device Calculator (halo/thermostat use ``run``).
+
+        The neighbor list is built at cutoff+skin so the edge set stays
+        a superset for the whole segment (the reference's pair style
+        delegates the same skin logic to LAMMPS neighbor lists)."""
+        if self.calc is None or self.halo_cfg is not None:
+            raise ValueError('run_device needs a single-device Calculator')
+        import jax
+        import jax.numpy as jnp
+
+        from . import keys as K
+        from .model.graph import bucket_capacity, collate, \
+            structure_to_graph
+
+        spec = self.calc.spec
+        params = self.calc.params
+        tm = self.calc.type_map
+        n = len(self.s.pos)
+        dt = float(self.dt)
+        skin = float(self.skin)
+
+        if not hasattr(self, '_seg_cache'):
+            self._seg_cache = {}
+            self._cap_edge = 0
+
+        def build_batch():
+            g = structure_to_graph(self.s, spec.cutoff + skin, tm)
+            self._cap_edge = max(
+                self._cap_edge, bucket_capacity(g[K.EDGE_IDX].shape[1]))
+            b = collate([g], n_node=bucket_capacity(n, margin=1.0),
+                        n_edge=self._cap_edge, n_graph=1)
+            return {k: jnp.asarray(v) for k, v in b.items()
+                    if k not in (K.INFO, K.USER_LABEL)}
+
+        def make_segment(n_node, n_edge, n_seg):
+            from .model.nequip import apply_model
+
+            key = (n_node, n_edge, n_seg)
+            if key in self._seg_cache:
+                return self._seg_cache[key]
+
+            @jax.jit
+            def segment(params, batch, vel, masses, f, n_active):
+                pos0 = batch[K.POS]
+                mask = batch[K.NODE_MASK][:, None]
+
+                def forces(pos):
+                    b = dict(batch)
+                    b[K.POS] = pos
+                    out = apply_model(spec, params, b)
+                    return (out[K.PRED_FORCE] * mask,
+                            out[K.PRED_TOTAL_ENERGY][0])
+
+                def body(carry, i):
+                    pos, vel, f, stopped, done = carry
+                    # stop BEFORE stepping once edges may be stale, so
+                    # the host rebuilds and re-runs from this state
+                    disp = jnp.max(
+                        jnp.sum((pos - pos0) ** 2, -1) *
+                        batch[K.NODE_MASK]
+                    )
+                    stop = stopped | (disp > (skin / 2) ** 2) \
+                        | (i >= n_active)
+                    a = f / masses[:, None] * ACC_UNIT
+                    v1 = vel + 0.5 * dt * a
+                    p1 = pos + dt * v1
+                    f1, e1 = forces(p1)
+                    v2 = v1 + 0.5 * dt * f1 / masses[:, None] * ACC_UNIT
+                    pos = jnp.where(stop, pos, p1)
+                    vel = jnp.where(stop, vel, v2)
+                    f = jnp.where(stop, f, f1)
+                    done = done + (~stop).astype(jnp.int32)
+                    ke = 0.5 * jnp.sum(
+                        masses[:, None] * vel * vel) / ACC_UNIT
+                    e_now = jnp.where(stop, jnp.nan, e1)
+                    return (pos, vel, f, stop, done), (e_now, ke)
+
+                (pos, vel, f, _, done), (e_tr, ke_tr) = jax.lax.scan(
+                    body,
+                    (pos0, vel, f, jnp.zeros((), bool),
+                     jnp.zeros((), jnp.int32)),
+                    jnp.arange(n_seg),
+                )
+                return pos, vel, f, done, e_tr, ke_tr
+
+            self._seg_cache[key] = segment
+            return segment
+
+        batch = build_batch()
+        n_node = batch[K.POS].shape[0]
+        masses = np.ones(n_node)
+        masses[:n] = self.masses
+        masses_j = jnp.asarray(masses, jnp.float32)
+        vel = np.zeros((n_node, 3), np.float32)
+        vel[:n] = self.vel
+        vel_j = jnp.asarray(vel)
+
+        if not hasattr(self, '_force_fns'):
+            self._force_fns = {}
+
+        def initial_forces(batch):
+            from .model.nequip import apply_model as _am
+
+            key = (batch[K.POS].shape[0], batch[K.EDGE_IDX].shape[1])
+            if key not in self._force_fns:
+                self._force_fns[key] = jax.jit(
+                    lambda p, b: _am(spec, p, b)[K.PRED_FORCE]
+                )
+            return self._force_fns[key](params, batch) \
+                * batch[K.NODE_MASK][:, None]
+
+        f0 = initial_forces(batch)
+        remaining = n_steps
+        while remaining > 0:
+            seg = make_segment(n_node, batch[K.EDGE_IDX].shape[1],
+                               seg_steps)
+            pos_j, vel_j, f0, done, e_tr, ke_tr = seg(
+                params, batch, vel_j, masses_j, f0,
+                jnp.asarray(min(seg_steps, remaining), jnp.int32),
+            )
+            done = int(done)
+            e_np = np.asarray(e_tr)[:done]
+            ke_np = np.asarray(ke_tr)[:done]
+            self.result.energies.extend(float(x) for x in e_np)
+            self.result.kinetic.extend(float(x) for x in ke_np)
+            dof = 3 * n - 3
+            self.result.temperatures.extend(
+                float(2 * k / (dof * KB_EV)) for k in ke_np)
+            if logger is not None and done:
+                logger.writeline(
+                    f'segment: {done:4d} steps  '
+                    f'E_pot {e_np[-1]:14.6f}  E_kin {ke_np[-1]:10.6f}'
+                )
+            remaining -= done
+            self.s.pos = np.asarray(pos_j)[:n].astype(float)
+            if remaining > 0:
+                # neighbor rebuild (or segment exhausted): fresh edge
+                # set, forces recomputed under it
+                batch = build_batch()
+                f0 = initial_forces(batch)
+        self.vel = np.asarray(vel_j)[:n].astype(float)
+        return self.result
 
     def run(self, n_steps: int, log_every: int = 1,
             logger=None, thermostat: Optional[Dict] = None,

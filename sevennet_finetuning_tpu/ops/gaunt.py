@@ -32,7 +32,7 @@ from ..irreps import Irreps
 from .spherical import spherical_harmonics
 from .wigner import wigner_3j
 
-PRECISION = lax.Precision.HIGHEST
+from .precision import matmul_precision
 
 
 @lru_cache(maxsize=None)
@@ -150,7 +150,7 @@ def to_fourier(x_stride: jnp.ndarray, L: int) -> jnp.ndarray:
     Y = jnp.asarray(y_coeffs(L).reshape((L + 1) ** 2, -1), dtype=cd)
     out = jnp.einsum(
         '...i,ij->...j', x_stride.astype(cd), Y,
-        precision=PRECISION,
+        precision=matmul_precision(),
     )
     return out.reshape(x_stride.shape[:-1] + (2 * L + 1, 2 * L + 1))
 
@@ -160,7 +160,7 @@ def to_spherical(grid: jnp.ndarray, L: int, L_max: int) -> jnp.ndarray:
     Z = jnp.asarray(z_coeffs(L, L_max), dtype=grid.dtype)
     flat = grid.reshape(grid.shape[:-2] + ((2 * L + 1) ** 2,))
     return jnp.einsum(
-        '...u,ui->...i', flat, Z, precision=PRECISION
+        '...u,ui->...i', flat, Z, precision=matmul_precision()
     ).real
 
 
@@ -285,7 +285,7 @@ def apply_gaunt_conv(
     w = w.reshape(w.shape[:-1] + (spec.mul, len(spec.irreps_out)))
     a_w = jnp.asarray(_aligned_path_weights(spec), dtype=x_flat.dtype)
     msg_stride = msg_stride * jnp.einsum(
-        '...ul,li->...ui', w, a_w, precision=PRECISION
+        '...ul,li->...ui', w, a_w, precision=matmul_precision()
     )
 
     # aggregate through the shared dispatch (Pallas sorted-segment-sum
@@ -385,7 +385,7 @@ def apply_gaunt_pb(
             return x_stride
         w = jnp.asarray(params[f'w{i}'], x_flat.dtype)
         return x_stride * jnp.einsum(
-            'ul,li->ui', w, a_w, precision=PRECISION
+            'ul,li->ui', w, a_w, precision=matmul_precision()
         )
 
     out = jnp.zeros(

@@ -19,7 +19,7 @@ from jax import lax
 
 from ..irreps import Irreps
 
-PRECISION = lax.Precision.HIGHEST
+from .precision import matmul_precision
 
 
 @dataclass(frozen=True)
@@ -104,7 +104,7 @@ def apply_linear(
             # swap fuses into the output concat
             res = ins.coeff * jnp.einsum(
                 '...ui,uv->...iv', a, jnp.asarray(w, dtype=dtype),
-                precision=PRECISION,
+                precision=matmul_precision(),
             )
             res = jnp.swapaxes(res, -1, -2)
             res = res.reshape(res.shape[:-2] + (mo.dim,))

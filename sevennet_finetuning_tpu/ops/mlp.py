@@ -18,7 +18,7 @@ from jax import lax
 
 from .activations import get_activation
 
-PRECISION = lax.Precision.HIGHEST
+from .precision import matmul_precision
 
 
 def mlp_init(hs: Sequence[int], rng: np.random.Generator) -> List[np.ndarray]:
@@ -38,7 +38,7 @@ def mlp_apply(
     for i, w in enumerate(weights):
         h_in = w.shape[0]
         x = jnp.matmul(
-            x, w.astype(x.dtype) / math.sqrt(h_in), precision=PRECISION
+            x, w.astype(x.dtype) / math.sqrt(h_in), precision=matmul_precision()
         )
         if i < n - 1:
             x = act(x)

@@ -2,13 +2,17 @@
 
 The message-passing aggregation ``x[n] = sum_{e: dst[e]=n} msg[e]`` is the
 scatter half of the convolution hot op (reference analogue:
-sevenn/nn/convolution.py:19-32 ``message_gather``).  XLA lowers
-``jax.ops.segment_sum`` to a general scatter-add; on TPU that emitter
-serializes on duplicate indices and runs far below HBM speed (measured
-~2 ms for a [21504, 1152] -> [512, 1152] aggregation on v5e that is
-~0.25 ms of pure HBM traffic).
+sevenn/nn/convolution.py:19-32 ``message_gather``).
 
-This kernel instead exploits the batching invariant that edges are sorted
+History note: round 2 measured XLA's scatter-add at ~2 ms for a
+[21504, 1152] -> [512, 1152] aggregation and shipped this kernel as the
+default; round 3's clean same-process A/B (tools/ab_aggregation.py)
+showed that number came from the tunnel's fetch-degraded dispatch mode
+-- with dst-sorted indices and the ``indices_are_sorted`` hint, XLA's
+scatter is slightly FASTER at the step level (0.61 vs 0.65 ms), so the
+kernel now sits behind SEVENN_PALLAS=1 as the alternative path.
+
+The kernel exploits the batching invariant that edges are sorted
 by destination (``model.graph.collate`` dst-sorts each graph's edges and
 pads with the out-of-range sentinel, preserving ascending order):
 
@@ -70,16 +74,19 @@ def aggregate_messages(
     """Message aggregation ``x[n] = sum_{e: dst[e]=n} msg[e]`` -- the
     scatter half of the convolution hot op.
 
-    Batches from ``model.graph.collate`` guarantee dst-sorted edges
-    (sorted_dst=True): on TPU those route to the Pallas sorted-segment-sum
-    kernel (SEVENN_NO_PALLAS=1 forces the XLA path, the correctness
-    oracle); elsewhere XLA's scatter-add with the ``indices_are_sorted``
-    hint.  Unsorted callers (e.g. the halo path's ghost-slot edges) get
-    the plain scatter-add.
+    Default: XLA scatter-add with the ``indices_are_sorted`` hint (the
+    collate batch contract dst-sorts edges).  A clean same-process A/B
+    on v5e (tools/ab_aggregation.py, round 3) measured the full train
+    step at 0.61 ms via XLA vs 0.65 ms via the Pallas sorted-segment-sum
+    kernel -- the round-2 claims that either side was ~2x faster were
+    artifacts of the tunnel's fetch-degraded mode (see PROFILE.md).  The
+    kernel is kept behind SEVENN_PALLAS=1 (per-call override via
+    ``force_impl``) for hardware where the balance tips the other way.
     """
     use_pallas = (
         sorted_dst
         and jax.default_backend() == 'tpu'
+        and bool(os.environ.get('SEVENN_PALLAS'))
         and not os.environ.get('SEVENN_NO_PALLAS')
     )
     if _IMPL_OVERRIDE is not None:

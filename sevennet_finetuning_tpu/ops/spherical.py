@@ -26,7 +26,7 @@ from jax import lax
 from .util import safe_norm
 from .wigner import wigner_3j
 
-PRECISION = lax.Precision.HIGHEST
+from .precision import matmul_precision
 
 _POLE = np.array([0.0, 1.0, 0.0])
 
@@ -80,7 +80,7 @@ def spherical_harmonics(
                 )
                 prev = jnp.einsum(
                     '...a,...b,abk->...k', prev, vec, w,
-                    precision=PRECISION,
+                    precision=matmul_precision(),
                 )
                 blocks.append(prev)
         sh = jnp.concatenate(blocks, axis=-1)

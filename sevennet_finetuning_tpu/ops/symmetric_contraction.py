@@ -29,7 +29,7 @@ from jax import lax
 from ..irreps import Irrep, Irreps
 from .wigner import wigner_3j
 
-PRECISION = lax.Precision.HIGHEST
+from .precision import matmul_precision
 
 
 @lru_cache(maxsize=None)
@@ -173,7 +173,7 @@ def apply_sym_contraction(
         def wnode(nu):
             w = jnp.asarray(params[f'o{oi}_nu{nu}'], dtype)
             return jnp.einsum('be,ekc->bkc', node_attr, w,
-                              precision=PRECISION)
+                              precision=matmul_precision())
 
         # main term (nu = nu_max):
         # U[(M), i1..inu, k] W[b,k,c] x[b,c,i_nu] -> [b, c, (M), i1..i_{nu-1}]
@@ -182,19 +182,19 @@ def apply_sym_contraction(
         sub_u = f'{m_ax}{idx}k'
         out = jnp.einsum(
             f'{sub_u},bkc,bc{idx[-1]}->bc{m_ax}{idx[:-1]}',
-            U, wnode(nu_max), x, precision=PRECISION,
+            U, wnode(nu_max), x, precision=matmul_precision(),
         )
         for nu in range(nu_max - 1, 0, -1):
             U_nu = jnp.asarray(u_matrix(spec.coupling, mo.ir, nu), dtype)
             idx = _AX[:nu]
             c_tensor = jnp.einsum(
                 f'{m_ax}{idx}k,bkc->bc{m_ax}{idx}',
-                U_nu, wnode(nu), precision=PRECISION,
+                U_nu, wnode(nu), precision=matmul_precision(),
             )
             c_tensor = c_tensor + out
             out = jnp.einsum(
                 f'bc{m_ax}{idx},bc{idx[-1]}->bc{m_ax}{idx[:-1]}',
-                c_tensor, x, precision=PRECISION,
+                c_tensor, x, precision=matmul_precision(),
             )
         # out: [b, c] or [b, c, M] -> flat [b, c*dim_out]
         outs.append(out.reshape(out.shape[0], -1))

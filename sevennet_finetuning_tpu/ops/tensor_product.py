@@ -28,7 +28,7 @@ from jax import lax
 from ..irreps import Irrep, Irreps, MulIrrep
 from .wigner import wigner_3j
 
-PRECISION = lax.Precision.HIGHEST
+from .precision import matmul_precision
 
 
 @dataclass(frozen=True)
@@ -222,13 +222,13 @@ def apply_tp(
             # the swap fuses into the output concatenation
             res = jnp.einsum(
                 '...u,...ui,...j,ijk->...ku', w, a, b1, C,
-                precision=PRECISION,
+                precision=matmul_precision(),
             )
             res = jnp.swapaxes(res, -1, -2)
         elif ins.mode == 'uvw':
             res = jnp.einsum(
                 '...ui,...vj,ijk,uvw->...wk', a, b, C, w,
-                precision=PRECISION,
+                precision=matmul_precision(),
             )
         else:
             raise ValueError(ins.mode)

@@ -528,16 +528,19 @@ def train(config: Dict, working_dir: str = '.',
     # train step serves every loader (each extra shape costs a full XLA
     # compile of the double-backprop graph -- minutes at SevenNet scale)
     mem_batch = config.get(K.MEM_BATCH_SIZE, 1)
-    probes = [Loader(train_set, batch_size), Loader(valid_set, batch_size)]
+    cache = bool(config.get(K.CACHE_BATCHES, True))
+    # probes carry the cache flag so the balanced-packing capacities
+    # (not the pessimistic any-shuffle bound) set the shared shape
+    probes = [Loader(train_set, batch_size, cache=cache, **shard_kw),
+              Loader(valid_set, batch_size, cache=cache, **shard_kw)]
     if mem_set is not None:
-        probes.append(Loader(mem_set, mem_batch))
+        probes.append(Loader(mem_set, mem_batch, cache=cache, **shard_kw))
     shape_kw = dict(
         n_node=max(p.n_node for p in probes),
         n_edge=max(p.n_edge for p in probes),
         n_graph=max(p.n_graph for p in probes),
     )
 
-    cache = bool(config.get(K.CACHE_BATCHES, True))
     train_loader = Loader(train_set, batch_size,
                           shuffle=config.get(K.TRAIN_SHUFFLE, True),
                           seed=seed, data_weights=data_weights,
@@ -692,6 +695,15 @@ def run_epochs(
     per_epoch = config.get(K.PER_EPOCH, 10)
     best_key_sub = config.get(K.BEST_METRIC, 'TotalLoss')
     best = float('inf')
+    metrics_every = max(1, int(config.get(K.METRICS_EVERY, 1) or 1))
+    if metrics_every > 1 and str(
+        config.get(K.SCHEDULER, '')
+    ).lower() == 'reducelronplateau':
+        raise ValueError(
+            'metrics_every > 1 needs a metric-free scheduler '
+            '(reducelronplateau consumes the validation metric every '
+            'epoch)'
+        )
 
     sample_metrics = [s.key for s in trainer.metric_specs]
     csv_cols = ['epoch', 'lr'] + [f'train_{k}' for k in sample_metrics] \
@@ -713,13 +725,23 @@ def run_epochs(
 
     for epoch in range(start_epoch, total_epoch + 1):
         logger.timer_start('epoch')
+        # between metric epochs: train only, no valid pass, no fetch
+        with_metrics = (
+            epoch % metrics_every == 0 or epoch == total_epoch
+        )
         if mem_loader is not None:
             train_m, mem_m = trainer.run_one_epoch_rehearsal(
-                train_loader, mem_loader, is_train=True
+                train_loader, mem_loader, is_train=True,
+                fetch=with_metrics,
             )
         else:
-            train_m = trainer.run_one_epoch(train_loader, is_train=True)
+            train_m = trainer.run_one_epoch(train_loader, is_train=True,
+                                            fetch=with_metrics)
             mem_m = None
+        if not with_metrics:
+            trainer.scheduler_step(None)
+            logger.timer_end('epoch', f'epoch {epoch} time (no metrics)')
+            continue
         valid_m = trainer.run_one_epoch(valid_loader, is_train=False)
 
         # plateau metric / scheduler

@@ -253,7 +253,11 @@ class Trainer:
         self,
         loader: Iterable[Dict],
         is_train: bool = False,
-    ) -> Dict[str, float]:
+        fetch: bool = True,
+    ) -> Optional[Dict[str, float]]:
+        """``fetch=False`` skips the device->host metric transfer and
+        returns None (metrics_every support: between metric epochs no
+        host transfer happens at all)."""
         acc = init_accumulators(self.metric_specs)
         for batch in self._epoch_batches(loader):
             if is_train:
@@ -262,6 +266,8 @@ class Trainer:
                 )
             else:
                 acc, _ = self._eval_step(self.params, batch, acc)
+        if not fetch:
+            return None
         return finalize(self.metric_specs, jax.device_get(acc))
 
     def run_one_epoch_rehearsal(
@@ -269,7 +275,8 @@ class Trainer:
         loader: Iterable[Dict],
         memloader,
         is_train: bool = True,
-    ) -> Tuple[Dict[str, float], Dict[str, float]]:
+        fetch: bool = True,
+    ) -> Tuple[Optional[Dict[str, float]], Optional[Dict[str, float]]]:
         """Interleaved replay: after every train-batch step, take one
         optimizer step on the next memory batch (cycling iterator)
         (reference: sevenn/train/trainer.py:157-222)."""
@@ -295,6 +302,8 @@ class Trainer:
                 )
             else:
                 mem_acc, _ = self._eval_step(self.params, mem_batch, mem_acc)
+        if not fetch:
+            return None, None
         return (
             finalize(self.metric_specs, jax.device_get(acc)),
             finalize(self.metric_specs, jax.device_get(mem_acc)),

@@ -182,3 +182,46 @@ def test_native_neighbor_list_matches_python():
         np.testing.assert_allclose(
             pos[j2] + s2 @ cell - pos[i2], d2, atol=1e-10
         )
+
+
+def test_balanced_packing_shrinks_capacity():
+    """cache=True packs batches to equalize edge totals: every graph
+    appears exactly once and the static capacity drops from the
+    'batch_size largest graphs together' bound toward the mean."""
+    import numpy as np
+
+    from sevennet_finetuning_tpu import keys as K
+    from sevennet_finetuning_tpu.data.dataset import GraphDataset, Loader
+    from sevennet_finetuning_tpu.data.elements import z_to_symbol
+    from sevennet_finetuning_tpu.data.vasp import Structure
+    from sevennet_finetuning_tpu.model.graph import structure_to_graph
+
+    rng = np.random.default_rng(0)
+    structs = []
+    for i in range(24):
+        n = 4 if i % 2 else 16      # strongly mixed sizes
+        a = 6.0 if i % 2 else 7.5
+        structs.append(Structure(
+            species=[z_to_symbol(8)] * n,
+            pos=rng.uniform(0, a, (n, 3)),
+            cell=np.eye(3) * a,
+            energy=-1.0 * n,
+            forces=rng.normal(size=(n, 3)),
+        ))
+    ds = GraphDataset.from_structures(structs, 4.0, {8: 0})
+
+    plain = Loader(ds, 4)
+    packed = Loader(ds, 4, cache=True, shuffle=True, seed=0)
+    assert packed.n_edge < plain.n_edge
+
+    batches = packed.materialize()
+    assert len(batches) == 6
+    # every graph used exactly once: total real nodes match
+    n_nodes = sum(int(b[K.NODE_MASK].sum()) for b in batches)
+    assert n_nodes == sum(len(s) for s in structs)
+    # every batch fits the packed capacity
+    for b in batches:
+        assert int(b[K.EDGE_MASK].sum()) <= packed.n_edge
+    # epoch_order is a permutation of the batches
+    order = packed.epoch_order()
+    assert sorted(order.tolist()) == list(range(6))

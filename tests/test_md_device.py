@@ -1,0 +1,74 @@
+"""Device-side NVE segments (md.run_device) vs the host-loop oracle.
+
+The jitted lax.scan segment integrates with a skin-padded neighbor list
+(edges beyond cutoff are killed by the envelope), so its trajectory must
+match the per-step host loop (fresh neighbor list every step) to f32
+tolerance, across segment boundaries and skin-triggered rebuilds."""
+
+import numpy as np
+import pytest
+
+from sevennet_finetuning_tpu import keys as K
+from sevennet_finetuning_tpu.calculator import Calculator
+from sevennet_finetuning_tpu.data.vasp import Structure
+from sevennet_finetuning_tpu.md import VelocityVerlet
+from sevennet_finetuning_tpu.model.build import build_model_spec
+from sevennet_finetuning_tpu.model.nequip import init_params
+
+
+@pytest.fixture(scope='module')
+def calc():
+    cfg = {
+        K.NUM_SPECIES: 2, K.TYPE_MAP: {8: 0, 72: 1},
+        K.NODE_FEATURE_MULTIPLICITY: 4, K.LMAX: 1,
+        K.NUM_CONVOLUTION: 2, K.CUTOFF: 3.0, K.IS_PARITY: False,
+        K.SELF_CONNECTION_TYPE: 'linear', K.CONV_DENOMINATOR: 10.0,
+        K.SHIFT: 0.0, K.SCALE: 1.0,
+    }
+    spec = build_model_spec(cfg)
+    return Calculator(spec, init_params(spec, 0))
+
+
+def _structure(seed=3, n=12, a=8.0):
+    rng = np.random.default_rng(seed)
+    return Structure(
+        species=['Hf' if i % 3 == 0 else 'O' for i in range(n)],
+        pos=rng.uniform(0, a, (n, 3)),
+        cell=np.eye(3) * a,
+    )
+
+
+def test_run_device_matches_host_loop(calc):
+    n_steps = 10
+    host = VelocityVerlet(_structure(), calculator=calc, dt_fs=0.5)
+    host.set_temperature(300.0, seed=2)
+    dev = VelocityVerlet(_structure(), calculator=calc, dt_fs=0.5)
+    dev.set_temperature(300.0, seed=2)
+
+    host.run(n_steps)
+    # seg_steps=4 forces several segment boundaries inside 10 steps
+    dev.run_device(n_steps, seg_steps=4)
+
+    assert len(dev.result.energies) == n_steps
+    np.testing.assert_allclose(dev.s.pos, host.s.pos, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(dev.vel, host.vel, rtol=1e-3, atol=1e-6)
+    # host logs E at each post-step state; device logs the same
+    np.testing.assert_allclose(
+        dev.result.energies, host.result.energies[:n_steps],
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        dev.result.kinetic, host.result.kinetic[:n_steps],
+        rtol=1e-4, atol=1e-7,
+    )
+
+
+def test_run_device_energy_conservation(calc):
+    md = VelocityVerlet(_structure(seed=5), calculator=calc, dt_fs=0.25)
+    md.set_temperature(150.0, seed=1)
+    md.run_device(40, seg_steps=16)
+    tot = np.array(md.result.total)
+    assert np.all(np.isfinite(tot))
+    drift = abs(tot[-1] - tot[0]) / len(md.s.pos)
+    assert drift < 5e-4, f'NVE drift {drift} eV/atom over 40 steps'

@@ -284,3 +284,51 @@ def test_inference_cli_writes_artifacts(tmp_path):
     with open(out / 'per_atom.csv') as f:
         arows = list(_csv.DictReader(f))
     assert arows and any('f' in k.lower() for k in arows[0])
+
+
+def test_metrics_every_skips_fetch_epochs(tmp_path):
+    """metrics_every=2: only epochs 2 and 4 (and the last) evaluate,
+    fetch and log; intermediate epochs train without any device->host
+    metric transfer."""
+    import numpy as np
+
+    from sevennet_finetuning_tpu import keys as K
+    from sevennet_finetuning_tpu.data.vasp import Structure
+    from sevennet_finetuning_tpu.pipeline import train
+
+    rng = np.random.default_rng(0)
+    structs = []
+    for i in range(6):
+        n = 6
+        structs.append(Structure(
+            species=['O' if k % 2 else 'Si' for k in range(n)],
+            pos=rng.uniform(0, 6.0, (n, 3)),
+            cell=np.eye(3) * 6.0,
+            energy=-5.0 * n + rng.normal() * 0.1,
+            forces=rng.normal(size=(n, 3)) * 0.1,
+        ))
+    cfg = {
+        K.CHEMICAL_SPECIES: 'auto', K.CUTOFF: 3.0,
+        K.NODE_FEATURE_MULTIPLICITY: 4, K.LMAX: 1,
+        K.NUM_CONVOLUTION: 2, K.IS_PARITY: False,
+        K.EPOCH: 4, K.PER_EPOCH: 4, K.BATCH_SIZE: 2, K.RATIO: 0.34,
+        K.IS_TRAIN_STRESS: False,
+        K.OPTIMIZER: 'adam', K.OPTIM_PARAM: {'lr': 1e-3},
+        K.ERROR_RECORD: [['Energy', 'MAE'], ['TotalLoss', 'None']],
+        K.METRICS_EVERY: 2,
+    }
+    wd = str(tmp_path / 'run')
+    train(cfg, working_dir=wd, structures=structs)
+    with open(wd + '/log.csv') as f:
+        lines = f.read().strip().splitlines()
+    epochs = [int(ln.split(',')[0]) for ln in lines[1:]]
+    assert epochs == [2, 4], epochs
+
+    # plateau scheduler requires per-epoch metrics
+    import pytest
+
+    cfg2 = dict(cfg)
+    cfg2[K.SCHEDULER] = 'reducelronplateau'
+    with pytest.raises(ValueError, match='metrics_every'):
+        train(cfg2, working_dir=str(tmp_path / 'run2'),
+              structures=structs)
