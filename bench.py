@@ -175,32 +175,28 @@ def main():
     except Exception:
         pass
 
-    # epoch-level throughput INCLUDING the input pipeline, as the
-    # training pipeline runs it (Loader cache=True: collate once +
-    # device-resident batches; first epoch pays collate + H2D)
+    # epoch-level throughput INCLUDING the input pipeline, as the REAL
+    # training pipeline runs it: Trainer's scanned-epoch path (batches
+    # collated once, device-resident, the whole epoch one lax.scan
+    # dispatch; metric accumulators updated in-scan, not fetched)
+    from sevennet_finetuning_tpu.train.trainer import Trainer
+
+    cfg.setdefault(K.ERROR_RECORD, [['Energy', 'RMSE'],
+                                    ['Force', 'RMSE'],
+                                    ['TotalLoss', 'None']])
+    trainer = Trainer(spec, init_params(spec, seed=0), cfg)
     t0 = time.time()
-    dev_batches = [
-        {k: jnp.asarray(v) for k, v in b.items()
-         if k not in (K.INFO, K.USER_LABEL)}
-        for b in loader.materialize()
-    ]
-    jax.block_until_ready(dev_batches)
-    cold_s = collate_s + (time.time() - t0)  # collate + H2D, once/run
+    trainer.run_one_epoch(loader, is_train=True, fetch=False)
+    jax.block_until_ready(trainer.params)
+    cold_s = collate_s + (time.time() - t0)  # H2D + epoch compile, once
 
-    def run_epoch():
-        nonlocal params, opt_state, total
-        for i in loader.epoch_order():
-            params, opt_state, total = train_step(
-                params, opt_state, dev_batches[i])
-        jax.block_until_ready(total)
-
-    run_epoch()  # warmup (same shapes; settles any late compiles)
     n_epoch_edges = sum(
         int(b[K.EDGE_MASK].sum()) for b in loader.materialize())
     epoch_runs = []
     for _ in range(3):
         t0 = time.time()
-        run_epoch()
+        trainer.run_one_epoch(loader, is_train=True, fetch=False)
+        jax.block_until_ready(trainer.params)
         epoch_runs.append(time.time() - t0)
     epoch_s = statistics.median(epoch_runs)
     epoch_edges_per_s = n_epoch_edges / epoch_s
@@ -219,7 +215,7 @@ def main():
             'instep_edges_per_s_pallas': round(edges_per_s, 1),
             'instep_edges_per_s_xla': round(n_edges_real / dt_xla, 1),
             'epoch_s_120_structs': round(epoch_s, 3),
-            'epoch_cold_collate_h2d_s': round(cold_s, 3),
+            'epoch_cold_s_collate_h2d_compile': round(cold_s, 3),
             'epoch_over_instep': round(
                 epoch_edges_per_s / edges_per_s, 3),
             'compile_s': round(compile_s, 1),

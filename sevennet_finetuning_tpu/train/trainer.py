@@ -113,6 +113,12 @@ class Trainer:
         # H2D-transferred once and replayed every epoch (the loader only
         # supplies the shuffled visit order)
         self._dev_cache: Dict[int, list] = {}
+        # stacked [n_batches, ...] pytrees for the scanned-epoch path
+        self._stacked_cache: Dict[int, object] = {}
+        if not self.dp:
+            self._train_epoch = jax.jit(self._make_train_epoch())
+            self._eval_epoch = jax.jit(self._make_eval_epoch())
+            self._rehearsal_epoch = jax.jit(self._make_rehearsal_epoch())
 
     # -- step builders ----------------------------------------------------
     def _make_train_step(self):
@@ -194,6 +200,86 @@ class Trainer:
 
         return step
 
+    @staticmethod
+    def _index_batch(stacked, idx):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(
+                x, idx, 0, keepdims=False),
+            stacked,
+        )
+
+    def _make_train_epoch(self):
+        """One WHOLE epoch as a single executable: lax.scan of the train
+        step over device-resident stacked batches in the loader's
+        shuffled order.  One dispatch per epoch instead of one per batch
+        -- the TPU-native epoch loop (no reference counterpart: eager
+        PyTorch dispatches per op)."""
+        step = self._make_train_step()
+
+        def epoch(params, opt_state, acc, stacked, order):
+            def body(carry, idx):
+                p, o, a = carry
+                b = self._index_batch(stacked, idx)
+                p, o, a = step(p, o, b, a)
+                return (p, o, a), None
+
+            (params, opt_state, acc), _ = jax.lax.scan(
+                body, (params, opt_state, acc), order)
+            return params, opt_state, acc
+
+        return epoch
+
+    def _make_eval_epoch(self):
+        step = self._make_eval_step()
+
+        def epoch(params, acc, stacked, order):
+            def body(a, idx):
+                a, _ = step(params, self._index_batch(stacked, idx), a)
+                return a, None
+
+            acc, _ = jax.lax.scan(body, acc, order)
+            return acc
+
+        return epoch
+
+    def _make_rehearsal_epoch(self):
+        """Scanned epoch with interleaved replay: after each train batch
+        one optimizer step on the cycling memory batch (reference:
+        sevenn/train/trainer.py:157-222)."""
+        step = self._make_train_step()
+
+        def epoch(params, opt_state, acc, mem_acc,
+                  stacked, order, mem_stacked, mem_order):
+            n_mem = mem_order.shape[0]
+
+            def body(carry, i):
+                p, o, a, ma = carry
+                p, o, a = step(
+                    p, o, self._index_batch(stacked, order[i]), a)
+                p, o, ma = step(
+                    p, o,
+                    self._index_batch(mem_stacked, mem_order[i % n_mem]),
+                    ma,
+                )
+                return (p, o, a, ma), None
+
+            (params, opt_state, acc, mem_acc), _ = jax.lax.scan(
+                body, (params, opt_state, acc, mem_acc),
+                jnp.arange(order.shape[0]))
+            return params, opt_state, acc, mem_acc
+
+        return epoch
+
+    def _stacked_for(self, loader):
+        """[n_batches, ...] device pytree of a cache=True loader's
+        materialized batches (built once per loader)."""
+        key = id(loader)
+        if key not in self._stacked_cache:
+            dev = [self._place_batch(b) for b in loader.materialize()]
+            self._stacked_cache[key] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *dev)
+        return self._stacked_cache[key]
+
     def _make_fisher_step(self):
         spec, loss_fn = self.spec, self.loss_fn
 
@@ -257,15 +343,28 @@ class Trainer:
     ) -> Optional[Dict[str, float]]:
         """``fetch=False`` skips the device->host metric transfer and
         returns None (metrics_every support: between metric epochs no
-        host transfer happens at all)."""
+        host transfer happens at all).
+
+        cache=True loaders (single-process) take the scanned-epoch path:
+        the whole epoch is ONE device dispatch."""
         acc = init_accumulators(self.metric_specs)
-        for batch in self._epoch_batches(loader):
+        if getattr(loader, 'cache', False) and not self.dp:
+            stacked = self._stacked_for(loader)
+            order = jnp.asarray(loader.epoch_order(), jnp.int32)
             if is_train:
-                self.params, self.opt_state, acc = self._train_step(
-                    self.params, self.opt_state, batch, acc
+                self.params, self.opt_state, acc = self._train_epoch(
+                    self.params, self.opt_state, acc, stacked, order
                 )
             else:
-                acc, _ = self._eval_step(self.params, batch, acc)
+                acc = self._eval_epoch(self.params, acc, stacked, order)
+        else:
+            for batch in self._epoch_batches(loader):
+                if is_train:
+                    self.params, self.opt_state, acc = self._train_step(
+                        self.params, self.opt_state, batch, acc
+                    )
+                else:
+                    acc, _ = self._eval_step(self.params, batch, acc)
         if not fetch:
             return None
         return finalize(self.metric_specs, jax.device_get(acc))
@@ -282,6 +381,27 @@ class Trainer:
         (reference: sevenn/train/trainer.py:157-222)."""
         acc = init_accumulators(self.metric_specs)
         mem_acc = init_accumulators(self.metric_specs)
+        if (
+            is_train
+            and getattr(loader, 'cache', False)
+            and getattr(memloader, 'cache', False)
+            and not self.dp
+        ):
+            stacked = self._stacked_for(loader)
+            mem_stacked = self._stacked_for(memloader)
+            order = jnp.asarray(loader.epoch_order(), jnp.int32)
+            mem_order = jnp.asarray(memloader.epoch_order(), jnp.int32)
+            (self.params, self.opt_state, acc, mem_acc) = \
+                self._rehearsal_epoch(
+                    self.params, self.opt_state, acc, mem_acc,
+                    stacked, order, mem_stacked, mem_order,
+                )
+            if not fetch:
+                return None, None
+            return (
+                finalize(self.metric_specs, jax.device_get(acc)),
+                finalize(self.metric_specs, jax.device_get(mem_acc)),
+            )
         mem_iter = iter(self._epoch_batches(memloader))
         for batch in self._epoch_batches(loader):
             if is_train:
