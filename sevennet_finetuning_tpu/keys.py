@@ -47,6 +47,11 @@ DATA_WEIGHT: Final[str] = 'data_weight'
 BATCH: Final[str] = 'batch'                        # (N,) graph index
 NODE_MASK: Final[str] = 'node_mask'                # (N,) 1=real 0=padding
 EDGE_MASK: Final[str] = 'edge_mask'                # (E,)
+# permutation sorting batch edges by SOURCE index (edge_idx[1][perm]
+# ascending): lets AD-transpose scatters (cotangents accumulated by src)
+# ride the sorted-segment-sum kernel.  TPU-native addition, no reference
+# counterpart.
+EDGE_SRC_PERM: Final[str] = '_edge_src_perm'       # (E,)
 
 SHIFT: Final[str] = 'shift'
 SCALE: Final[str] = 'scale'

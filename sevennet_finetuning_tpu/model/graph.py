@@ -148,6 +148,11 @@ def collate(
         node_off += n
         edge_off += e
 
+    # permutation sorting edges by SOURCE (padded sentinels stay last):
+    # backward-pass scatters (cotangents accumulated by src) then run on
+    # the sorted-segment-sum kernel instead of XLA's serial scatter-add
+    src_perm = np.argsort(edge_idx[1], kind='stable').astype(np.int32)
+
     return {
         K.POS: pos,
         K.ATOM_TYPE: atom_type,
@@ -156,6 +161,7 @@ def collate(
         K.NODE_MASK: node_mask,
         K.FORCE: force,
         K.EDGE_IDX: edge_idx,
+        K.EDGE_SRC_PERM: src_perm,
         K.CELL_SHIFT: cell_shift,
         K.EDGE_MASK: edge_mask,
         K.CELL: cell,

@@ -38,7 +38,11 @@ from ..ops.linear import (
     linear_spec,
 )
 from ..ops.mlp import mlp_apply, mlp_init
-from ..ops.pallas_scatter import aggregate_messages
+from ..ops.pallas_scatter import (
+    aggregate_messages,
+    gather_rows,
+    scatter_rows,
+)
 from ..ops.radial import bessel_basis, bessel_init, poly_cutoff, xplor_cutoff
 from ..ops.spherical import spherical_harmonics
 from ..ops.tensor_product import (
@@ -62,6 +66,10 @@ def resolve_remat(spec: 'ModelSpec', n_edge: int, remat='auto') -> bool:
     + force-grad vjp + param-grad pass keep ~6 fp32 copies) exceed the
     activation budget (env SEVENNET_TPU_ACT_BUDGET_GB, default 6 GiB).
     """
+    scale = 1.0
+    if isinstance(remat, tuple):  # ('auto', scale): scaled estimate,
+        remat, scale = remat      # e.g. 2.0 when two steps share a
+        # scan body (the rehearsal epoch) and liveness is conservative
     if remat != 'auto':
         return bool(remat)
     import os
@@ -74,7 +82,7 @@ def resolve_remat(spec: 'ModelSpec', n_edge: int, remat='auto') -> bool:
             mid += tp.irreps_out.dim
         else:  # gaunt blocks: 2D Fourier grid per edge
             mid += 4 * b.irreps_x.dim
-    est_bytes = 6.0 * 4.0 * float(n_edge) * float(mid)
+    est_bytes = 6.0 * 4.0 * float(n_edge) * float(mid) * scale
     return est_bytes > budget_gb * 2.0 ** 30
 
 
@@ -506,6 +514,7 @@ def run_blocks(
     exchange_fn=None,
     remat: bool = False,
     edges_sorted: bool = False,
+    src_perm=None,
 ) -> jnp.ndarray:
     """All interaction blocks (NequIP or MACE).  ``exchange_fn``, when
     given, maps local features to local+ghost rows before the gather
@@ -513,6 +522,8 @@ def run_blocks(
 
     ``edges_sorted`` asserts edge_dst is ascending (the collate batch
     contract), enabling the Pallas sorted-segment-sum aggregation.
+    ``src_perm`` (collate's K.EDGE_SRC_PERM) routes the source-gather's
+    AD-transpose scatter through the same kernel.
 
     ``remat=True`` checkpoints each block: the training double-backprop
     otherwise keeps per-edge message tensors of every layer live, which
@@ -527,7 +538,7 @@ def run_blocks(
     def run_one(blk, x, params):
         return _run_one_block(
             spec, blk, params, x, onehot, emb, edge_attr, edge_src,
-            edge_dst, n_node, cap, exchange_fn, edges_sorted,
+            edge_dst, n_node, cap, exchange_fn, edges_sorted, src_perm,
         )
 
     for blk in spec.blocks:
@@ -542,7 +553,7 @@ def run_blocks(
 
 def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
                    edge_src, edge_dst, n_node, cap, exchange_fn,
-                   edges_sorted=False):
+                   edges_sorted=False, src_perm=None):
     t = blk.t
     if blk.block_type == 'custom':
         ctx = dict(onehot=onehot, emb=emb, edge_attr=edge_attr,
@@ -587,7 +598,9 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
             [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
             emb, blk.act_radial,
         )
-        msg = apply_tp(blk.conv_tp, x_all[edge_src], edge_attr, w_edge)
+        x_src = gather_rows(x_all, edge_src,
+                            src_perm if exchange_fn is None else None)
+        msg = apply_tp(blk.conv_tp, x_src, edge_attr, w_edge)
         x = aggregate_messages(msg, edge_dst, n_node, edges_sorted)
         x = x / conv_p['denominator']
     cap(f'{t}_convolution', x)
@@ -727,7 +740,8 @@ def energy_network(
     x = run_blocks(spec, params, x, onehot, emb, edge_attr, edge_src,
                    edge_dst, n_node,
                    cap=(cap if intermediates is not None else None),
-                   remat=remat, edges_sorted=True)
+                   remat=remat, edges_sorted=True,
+                   src_perm=data.get(K.EDGE_SRC_PERM))
 
     out[K.NODE_FEATURE] = x
 
@@ -737,10 +751,15 @@ def energy_network(
     out[K.SCALED_ATOMIC_ENERGY] = scaled
     atomic_e = atomic_e * data[K.NODE_MASK]
     out[K.ATOMIC_ENERGY] = atomic_e
-    out[K.PRED_TOTAL_ENERGY] = jax.ops.segment_sum(
-        atomic_e, data[K.BATCH], num_segments=n_graph,
-        indices_are_sorted=True,  # collate emits nodes in graph order
+    # collate emits real nodes in graph order; padded tail nodes carry
+    # batch id 0, so remap them to the drop sentinel (n_graph) to keep
+    # the ids ascending for the sorted-segment-sum kernel
+    batch_ids = jnp.where(
+        data[K.NODE_MASK] > 0, data[K.BATCH], n_graph
     )
+    out[K.PRED_TOTAL_ENERGY] = aggregate_messages(
+        atomic_e[:, None], batch_ids, n_graph, True
+    )[:, 0]
     return out
 
 
@@ -763,10 +782,11 @@ def apply_model(
 
     fij, out = jax.grad(total_e, has_aux=True)(edge_vec)
 
-    # idx[0] is ascending by the collate batch contract
-    pf = jax.ops.segment_sum(fij, idx[0], num_segments=n_node,
-                             indices_are_sorted=True)
-    nf = jax.ops.segment_sum(fij, idx[1], num_segments=n_node)
+    # idx[0] is ascending by the collate batch contract; the src-side
+    # scatter rides the kernel via the precomputed src-sort permutation
+    pf = aggregate_messages(fij, idx[0], n_node, True)
+    nf = scatter_rows(fij, idx[1], n_node,
+                      perm=data.get(K.EDGE_SRC_PERM))
     out[K.PRED_FORCE] = pf - nf
 
     # per-edge virial, Voigt (xx, yy, zz, xy, yz, zx), summed per graph
@@ -780,7 +800,14 @@ def apply_model(
         ],
         axis=-1,
     )
-    batch_of_edge = data[K.BATCH][idx[0]]
-    virial = jax.ops.segment_sum(voigt, batch_of_edge, num_segments=n_graph)
+    # batch ids of dst-sorted edges are ascending (node offsets grow
+    # monotonically per graph); sentinel edges index row n_node whose
+    # BATCH entry is the last graph -- their voigt rows are exactly zero
+    batch_of_edge = jnp.where(
+        idx[0] < n_node,
+        data[K.BATCH][jnp.minimum(idx[0], n_node - 1)],
+        n_graph,
+    )
+    virial = aggregate_messages(voigt, batch_of_edge, n_graph, True)
     out[K.PRED_STRESS] = -virial / data[K.CELL_VOLUME][:, None]
     return out

@@ -37,6 +37,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,19 +75,17 @@ def aggregate_messages(
     """Message aggregation ``x[n] = sum_{e: dst[e]=n} msg[e]`` -- the
     scatter half of the convolution hot op.
 
-    Default: XLA scatter-add with the ``indices_are_sorted`` hint (the
-    collate batch contract dst-sorts edges).  A clean same-process A/B
-    on v5e (tools/ab_aggregation.py, round 3) measured the full train
-    step at 0.61 ms via XLA vs 0.65 ms via the Pallas sorted-segment-sum
-    kernel -- the round-2 claims that either side was ~2x faster were
-    artifacts of the tunnel's fetch-degraded mode (see PROFILE.md).  The
-    kernel is kept behind SEVENN_PALLAS=1 (per-call override via
-    ``force_impl``) for hardware where the balance tips the other way.
+    Default on TPU with sorted dst: the Pallas sorted-segment-sum kernel.
+    Honest (fetch-forced, see PROFILE.md) round-3 measurement: XLA's
+    scatter-add costs ~5.7 ms for a [21504, 1152] -> [512] aggregation
+    even with the ``indices_are_sorted`` hint (~0.3 ms of HBM traffic),
+    serializing the convolution; the kernel does it in well under 0.5 ms.
+    SEVENN_NO_PALLAS=1 forces the XLA path (correctness oracle);
+    unsorted callers (halo ghost edges) always use XLA scatter-add.
     """
     use_pallas = (
         sorted_dst
         and jax.default_backend() == 'tpu'
-        and bool(os.environ.get('SEVENN_PALLAS'))
         and not os.environ.get('SEVENN_NO_PALLAS')
     )
     if _IMPL_OVERRIDE is not None:
@@ -96,6 +95,66 @@ def aggregate_messages(
     return jax.ops.segment_sum(
         msg, dst, num_segments=n_node, indices_are_sorted=sorted_dst
     )
+
+
+def scatter_rows(
+    values: jnp.ndarray,
+    idx: jnp.ndarray,
+    n_rows: int,
+    perm: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scatter-add ``out[idx[e]] += values[e]`` for UNSORTED ``idx``
+    given a static permutation ``perm`` with ``idx[perm]`` ascending
+    (collate ships one for the source index, K.EDGE_SRC_PERM): the
+    values are permuted (one cheap gather) and summed by the sorted
+    kernel instead of XLA's serial scatter-add."""
+    use_pallas = (
+        perm is not None
+        and jax.default_backend() == 'tpu'
+        and not os.environ.get('SEVENN_NO_PALLAS')
+    )
+    if _IMPL_OVERRIDE is not None:
+        use_pallas = _IMPL_OVERRIDE == 'pallas' and perm is not None
+    if use_pallas:
+        return segment_sum_sorted(values[perm], idx[perm], n_rows)
+    return jax.ops.segment_sum(values, idx, num_segments=n_rows)
+
+
+def gather_rows(
+    x: jnp.ndarray,
+    idx: jnp.ndarray,
+    perm: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``x[idx]`` whose AD transpose (scatter-add of cotangents by
+    ``idx``) rides the sorted kernel via ``perm`` (static, idx[perm]
+    ascending).  Without a perm / off TPU this is a plain gather.
+
+    Sentinel semantics: out-of-range idx rows (padded edges) clamp in
+    the forward like a plain gather; in the transpose the kernel DROPS
+    them instead of accumulating into the clamped row -- identical
+    results here because padded-edge cotangents are exactly zero (the
+    radial embedding mask kills padded messages and their gradients).
+    """
+    n_rows = x.shape[0]
+    use = (
+        perm is not None
+        and jax.default_backend() == 'tpu'
+        and not os.environ.get('SEVENN_NO_PALLAS')
+    )
+    if _IMPL_OVERRIDE is not None:
+        use = _IMPL_OVERRIDE == 'pallas' and perm is not None
+    if not use:
+        return x[idx]
+
+    def fwd(res, xx):
+        idx_, _ = res
+        return xx[jnp.minimum(idx_, n_rows - 1)]
+
+    def trans(res, ct):
+        idx_, perm_ = res
+        return segment_sum_sorted(ct[perm_], idx_[perm_], n_rows)
+
+    return jax.custom_derivatives.linear_call(fwd, trans, (idx, perm), x)
 
 
 def _kernel(TN: int, TE: int, precision,

@@ -198,7 +198,50 @@ def apply_tp(
 
     n_out = len(spec.irreps_out)
     chunks: List[Optional[jnp.ndarray]] = [None] * n_out
+
+    # uvu instructions grouped by (i_in1, i_in2): ONE outer product and
+    # ONE [.., d1*d2, mul] x [d1*d2, sum_k] contraction per group cover
+    # every l_out path of that input pair, instead of a per-instruction
+    # einsum chain (honest-timing round 3: per-instruction HBM round
+    # trips over tiny-trailing-dim tensors cost ~1.8x the grouped form)
+    uvu_groups: dict = {}
     for idx, ins in enumerate(spec.instructions):
+        if ins.mode == 'uvu':
+            uvu_groups.setdefault((ins.i_in1, ins.i_in2), []).append(
+                (idx, ins))
+
+    for (i1, i2), items in uvu_groups.items():
+        mi1 = spec.irreps_in1[i1]
+        mi2 = spec.irreps_in2[i2]
+        if mi2.mul != 1:
+            raise NotImplementedError('uvu with filter mul > 1')
+        d1, d2, mul = mi1.ir.dim, mi2.ir.dim, mi1.mul
+        a = x1[..., sl1[i1]].reshape(x1.shape[:-1] + (mul, d1))
+        aT = jnp.swapaxes(a, -1, -2)            # [.., d1, mul]: mul lanes
+        b1 = x2[..., sl2[i2]]                   # [.., d2]
+        outer = aT[..., None, :, :] * b1[..., :, None, None]
+        outer = outer.reshape(outer.shape[:-3] + (d2 * d1, mul))
+        Ccat = jnp.asarray(np.concatenate([
+            (wigner_3j(mi1.ir.l, mi2.ir.l,
+                       spec.irreps_out[ins.i_out].ir.l)
+             * ins.coeff).transpose(1, 0, 2).reshape(d2 * d1, -1)
+            for _, ins in items
+        ], axis=-1), dtype=dtype)
+        res = jnp.einsum('...pu,pK->...Ku', outer, Ccat,
+                         precision=matmul_precision())  # [.., K, mul]
+        off = 0
+        for idx, ins in items:
+            mo = spec.irreps_out[ins.i_out]
+            k = mo.ir.dim
+            r = res[..., off:off + k, :] * w_views[idx][..., None, :]
+            off += k
+            r = jnp.swapaxes(r, -1, -2).reshape(r.shape[:-2] + (mo.dim,))
+            chunks[ins.i_out] = r if chunks[ins.i_out] is None \
+                else chunks[ins.i_out] + r
+
+    for idx, ins in enumerate(spec.instructions):
+        if ins.mode == 'uvu':
+            continue
         mi1 = spec.irreps_in1[ins.i_in1]
         mi2 = spec.irreps_in2[ins.i_in2]
         mo = spec.irreps_out[ins.i_out]
@@ -212,20 +255,7 @@ def apply_tp(
             wigner_3j(mi1.ir.l, mi2.ir.l, mo.ir.l) * ins.coeff, dtype=dtype
         )
         w = w_views[idx]
-        if ins.mode == 'uvu':
-            if mi2.mul != 1:
-                raise NotImplementedError('uvu with filter mul > 1')
-            b1 = b[..., 0, :]
-            # contract with the multiplicity axis LAST: trailing dims of
-            # (2l+1) <= 7 would otherwise pad to 128-lane tiles (observed
-            # 6-40x HBM expansion on TPU); [., k, u] keeps tiles dense and
-            # the swap fuses into the output concatenation
-            res = jnp.einsum(
-                '...u,...ui,...j,ijk->...ku', w, a, b1, C,
-                precision=matmul_precision(),
-            )
-            res = jnp.swapaxes(res, -1, -2)
-        elif ins.mode == 'uvw':
+        if ins.mode == 'uvw':
             res = jnp.einsum(
                 '...ui,...vj,ijk,uvw->...wk', a, b, C, w,
                 precision=matmul_precision(),

@@ -740,6 +740,15 @@ def run_epochs(
             mem_m = None
         if not with_metrics:
             trainer.scheduler_step(None)
+            # bound queued device work across fetch-free epochs.  On
+            # standard PJRT runtimes this makes the logged wall time the
+            # real epoch duration; on the axon tunnel only data FETCHES
+            # synchronize (PROFILE.md), so there the fetch-free epoch
+            # lines are dispatch-time only and the metric epochs carry
+            # the accumulated truth.
+            import jax
+
+            jax.block_until_ready(trainer.params)
             logger.timer_end('epoch', f'epoch {epoch} time (no metrics)')
             continue
         valid_m = trainer.run_one_epoch(valid_loader, is_train=False)
