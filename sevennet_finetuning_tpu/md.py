@@ -180,8 +180,12 @@ class VelocityVerlet:
 
         def build_batch():
             g = structure_to_graph(self.s, spec.cutoff + skin, tm)
+            # 8% headroom + monotone growth: neighbor counts fluctuate
+            # between rebuilds and a capacity-bucket change would force
+            # a fresh XLA compile mid-trajectory
             self._cap_edge = max(
-                self._cap_edge, bucket_capacity(g[K.EDGE_IDX].shape[1]))
+                self._cap_edge,
+                bucket_capacity(int(g[K.EDGE_IDX].shape[1] * 1.08)))
             b = collate([g], n_node=bucket_capacity(n, margin=1.0),
                         n_edge=self._cap_edge, n_graph=1)
             return {k: jnp.asarray(v) for k, v in b.items()
@@ -195,7 +199,7 @@ class VelocityVerlet:
                 return self._seg_cache[key]
 
             @jax.jit
-            def segment(params, batch, vel, masses, f, n_active):
+            def segment(params, batch, vel, masses, n_active):
                 pos0 = batch[K.POS]
                 mask = batch[K.NODE_MASK][:, None]
 
@@ -205,6 +209,11 @@ class VelocityVerlet:
                     out = apply_model(spec, params, b)
                     return (out[K.PRED_FORCE] * mask,
                             out[K.PRED_TOTAL_ENERGY][0])
+
+                # initial forces computed IN this executable: a separate
+                # jit would cost a ~1.7 s program reload per segment on
+                # tunneled runtimes
+                f, _ = forces(pos0)
 
                 def body(carry, i):
                     pos, vel, f, stopped, done = carry
@@ -250,27 +259,12 @@ class VelocityVerlet:
         vel[:n] = self.vel
         vel_j = jnp.asarray(vel)
 
-        if not hasattr(self, '_force_fns'):
-            self._force_fns = {}
-
-        def initial_forces(batch):
-            from .model.nequip import apply_model as _am
-
-            key = (batch[K.POS].shape[0], batch[K.EDGE_IDX].shape[1])
-            if key not in self._force_fns:
-                self._force_fns[key] = jax.jit(
-                    lambda p, b: _am(spec, p, b)[K.PRED_FORCE]
-                )
-            return self._force_fns[key](params, batch) \
-                * batch[K.NODE_MASK][:, None]
-
-        f0 = initial_forces(batch)
         remaining = n_steps
         while remaining > 0:
             seg = make_segment(n_node, batch[K.EDGE_IDX].shape[1],
                                seg_steps)
             pos_j, vel_j, f0, done, e_tr, ke_tr = seg(
-                params, batch, vel_j, masses_j, f0,
+                params, batch, vel_j, masses_j,
                 jnp.asarray(min(seg_steps, remaining), jnp.int32),
             )
             done = int(done)
@@ -290,9 +284,8 @@ class VelocityVerlet:
             self.s.pos = np.asarray(pos_j)[:n].astype(float)
             if remaining > 0:
                 # neighbor rebuild (or segment exhausted): fresh edge
-                # set, forces recomputed under it
+                # set; the next segment recomputes forces under it
                 batch = build_batch()
-                f0 = initial_forces(batch)
         self.vel = np.asarray(vel_j)[:n].astype(float)
         return self.result
 

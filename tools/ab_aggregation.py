@@ -157,21 +157,20 @@ def main():
         steps[name], compile_s, losses[name] = make_step(impl, mode)
         print(f'# compiled {name}: {compile_s:.1f}s', file=sys.stderr)
 
-    # interleaved timed rounds; switching executables costs a ~1.7s
-    # program reload through the tunnel, so warm each one untimed
-    # before its timed window (steady-state steps are what a training
-    # epoch sees -- it runs ONE executable continuously)
+    # interleaved timed rounds.  CRITICAL (PROFILE.md): on this runtime
+    # block_until_ready does NOT synchronize -- only a data FETCH forces
+    # execution -- so each timed window ends in a scalar loss fetch
+    # (~35 ms, amortized over the window).  Executable switches cost a
+    # ~1.7 s program reload; one warmup call (its fetch) absorbs it.
     times = {k: [] for k in steps}
     for r in range(args.rounds):
         for name, step in steps.items():
-            p, o, t = params, opt_state, None
-            p, o, t = step(p, o, batch)
-            p, o, t = step(p, o, batch)
-            jax.block_until_ready(t)
+            p, o, t = step(params, opt_state, batch)
+            float(t)  # absorb program reload + drain queue
             t0 = time.time()
             for _ in range(args.steps):
                 p, o, t = step(p, o, batch)
-            jax.block_until_ready(t)
+            float(t)  # fetch forces execution of the whole window
             times[name].append((time.time() - t0) / args.steps * 1e3)
     med = {k: statistics.median(v) for k, v in times.items()}
 
@@ -194,19 +193,20 @@ def main():
         'pallas_bf16': jax.jit(lambda m, d: ps.segment_sum_sorted(
             m, d, N, precision='bf16')),
     }
-    K_REP = 4
+    K_REP = 8
 
     def chained(fn):
-        # K_REP data-dependent applications inside ONE executable
-        # (unrolled -- no control flow around the pallas call) so the
-        # per-dispatch tunnel overhead (~1 ms) is amortized away
+        # K_REP data-dependent applications inside ONE executable,
+        # reduced to a SCALAR in-jit so the terminal fetch (which is
+        # what forces execution, PROFILE.md) transfers 4 bytes.  The
+        # dependency multiplies by a runtime (1 + eps*0-valued) factor
+        # so XLA cannot hoist the chain.
         @jax.jit
         def g(m, d):
             out = fn(m, d)
             for _ in range(K_REP - 1):
-                # 0-valued dependency keeps applications sequential
-                out = fn(m, d + (out[0, 0] * 0).astype(d.dtype))
-            return out
+                out = fn(m * (1.0 + out[0, 0] * 1e-30), d)
+            return out.astype(jnp.float32).sum()
         return g
 
     # time first, fetch LAST (fetch-poisoning, see above): variant
@@ -216,15 +216,12 @@ def main():
     for name, fn in variants.items():
         op_out[name] = jax.block_until_ready(fn(msg, dst))
         g = chained(fn)
-        out = jax.block_until_ready(g(msg, dst))  # compile
+        float(g(msg, dst))  # compile + program load
         runs = []
         for r in range(args.rounds):
-            out = jax.block_until_ready(g(msg, dst))  # reload program
             t0 = time.time()
-            for _ in range(args.steps):
-                out = g(msg, dst)
-            jax.block_until_ready(out)
-            runs.append((time.time() - t0) / args.steps / K_REP * 1e3)
+            v = float(g(msg, dst))   # fetch forces execution
+            runs.append((time.time() - t0 - 0.035) / K_REP * 1e3)
         op_ms[name] = statistics.median(runs)
 
     # ---- all timing done; fetches are safe from here on ----

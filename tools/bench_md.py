@@ -101,9 +101,16 @@ def main():
     if args.model:
         calc = Calculator.from_checkpoint(args.model)
     else:
+        # the SevenNet-0 release serial artifact (the example dir's
+        # deployed_serial.pt is the tiny channel-4 training example)
+        from sevennet_finetuning_tpu.compat.known_models import (
+            SEVENNET_0_11JULY2024,
+        )
+
         calc = Calculator.from_deployed_torchscript(
-            '/root/reference/example_inputs/md_serial_example/'
-            'deployed_serial.pt'
+            '/root/reference/sevenn/pretrained_potentials/'
+            'SevenNet_0__11July2024/serial_model/deployed_serial.pt',
+            SEVENNET_0_11JULY2024,
         )
 
     base = read_lammps_data(RES_DAT)
