@@ -4,13 +4,14 @@ The message-passing aggregation ``x[n] = sum_{e: dst[e]=n} msg[e]`` is the
 scatter half of the convolution hot op (reference analogue:
 sevenn/nn/convolution.py:19-32 ``message_gather``).
 
-History note: round 2 measured XLA's scatter-add at ~2 ms for a
-[21504, 1152] -> [512, 1152] aggregation and shipped this kernel as the
-default; round 3's clean same-process A/B (tools/ab_aggregation.py)
-showed that number came from the tunnel's fetch-degraded dispatch mode
--- with dst-sorted indices and the ``indices_are_sorted`` hint, XLA's
-scatter is slightly FASTER at the step level (0.61 vs 0.65 ms), so the
-kernel now sits behind SEVENN_PALLAS=1 as the alternative path.
+History note: rounds 1-3 flip-flopped on XLA-vs-kernel because every
+pre-round-3 timing relied on ``block_until_ready``, which does NOT
+synchronize on the tunneled runtime (PROFILE.md).  Fetch-forced
+measurement settled it: XLA's scatter-add costs ~2 ms in context even
+with the sorted hint, the kernel well under 0.5 ms, and the kernel-
+routed train step beats the XLA-routed one 138.6 vs 145.9 ms with
+bit-identical losses.  The kernel is the TPU default; SEVENN_NO_PALLAS=1
+selects the XLA oracle.
 
 The kernel exploits the batching invariant that edges are sorted
 by destination (``model.graph.collate`` dst-sorts each graph's edges and

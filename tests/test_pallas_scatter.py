@@ -129,3 +129,74 @@ def test_collate_emits_sorted_dst_with_sentinel_pad():
         got = set(map(tuple, b[K.EDGE_IDX][:, off:off + e].T.tolist()))
         off += e
     assert off == n_real
+
+
+def test_scatter_rows_with_perm_matches_xla():
+    """scatter_rows permutes values host-side-sorted and sums with the
+    kernel; semantics must equal a plain unsorted segment_sum."""
+    from sevennet_finetuning_tpu.ops.pallas_scatter import (
+        force_impl,
+        segment_sum_sorted,
+    )
+
+    rng = np.random.default_rng(4)
+    E, N, D = 600, 70, 16
+    idx = rng.integers(0, N, E).astype(np.int32)
+    vals = rng.standard_normal((E, D)).astype(np.float32)
+    perm = np.argsort(idx, kind='stable').astype(np.int32)
+
+    ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(idx),
+                              num_segments=N)
+    out = segment_sum_sorted(jnp.asarray(vals)[jnp.asarray(perm)],
+                             jnp.asarray(idx)[jnp.asarray(perm)], N,
+                             interpret=True)
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_gather_rows_transpose_scatter(monkeypatch):
+    """gather_rows' AD transpose (cotangents scattered by the unsorted
+    index through the src-perm + sorted kernel) must equal plain-gather
+    autodiff.  Exercised via the interpret-mode kernel on CPU."""
+    import sevennet_finetuning_tpu.ops.pallas_scatter as ps
+
+    # route segment_sum_sorted through the interpreter on CPU
+    orig = ps.segment_sum_sorted
+    monkeypatch.setattr(
+        ps, 'segment_sum_sorted',
+        lambda m, d, n, **kw: orig(m, d, n, interpret=True),
+    )
+
+    rng = np.random.default_rng(5)
+    E, N, D = 300, 40, 8
+    idx = np.concatenate([
+        rng.integers(0, N, E - 20), np.full(20, N)   # sentinel tail
+    ]).astype(np.int32)
+    perm = np.argsort(idx, kind='stable').astype(np.int32)
+    x = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32))
+    # zero cotangent on sentinel rows (the model guarantees this: padded
+    # messages are masked) -- clamp-vs-drop then agree exactly
+    g = g.at[-20:].set(0.0)
+
+    idx_j, perm_j = jnp.asarray(idx), jnp.asarray(perm)
+
+    def f_kernel(xx):
+        with ps.force_impl('pallas'):
+            out = ps.gather_rows(xx, idx_j, perm_j)
+        return jnp.sum(out * g)
+
+    def f_plain(xx):
+        return jnp.sum(xx[idx_j] * g)
+
+    g1 = jax.grad(f_kernel)(x)
+    g2 = jax.grad(f_plain)(x)
+    scale = float(np.abs(np.asarray(g2)).max())
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4 * scale)
+    # forward identical
+    with ps.force_impl('pallas'):
+        np.testing.assert_allclose(
+            np.asarray(ps.gather_rows(x, idx_j, perm_j)),
+            np.asarray(x[jnp.minimum(idx_j, N - 1)]), rtol=0, atol=0)
