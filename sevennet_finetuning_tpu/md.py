@@ -259,6 +259,12 @@ class VelocityVerlet:
         vel[:n] = self.vel
         vel_j = jnp.asarray(vel)
 
+        # NOTE: seg_steps is a compile-time scan length -- pick it near
+        # the expected skin/2 rebuild interval for the system/temperature
+        # (hot/large systems trip rebuilds every few steps and a long
+        # scan then wastes its frozen lanes).  Adapting the length at
+        # runtime is NOT done here: every distinct length is a separate
+        # XLA compile, which costs minutes on tunneled runtimes.
         remaining = n_steps
         while remaining > 0:
             seg = make_segment(n_node, batch[K.EDGE_IDX].shape[1],

@@ -257,7 +257,7 @@ class Trainer:
         step = self._make_train_step(remat_scale=2.0)
 
         def epoch(params, opt_state, acc, mem_acc,
-                  stacked, order, mem_stacked, mem_order):
+                  stacked, order, mem_stacked, mem_order, i0):
             n_mem = mem_order.shape[0]
 
             def body(carry, i):
@@ -266,7 +266,8 @@ class Trainer:
                     p, o, self._index_batch(stacked, order[i]), a)
                 p, o, ma = step(
                     p, o,
-                    self._index_batch(mem_stacked, mem_order[i % n_mem]),
+                    self._index_batch(
+                        mem_stacked, mem_order[(i0 + i) % n_mem]),
                     ma,
                 )
                 return (p, o, a, ma), None
@@ -277,6 +278,16 @@ class Trainer:
             return params, opt_state, acc, mem_acc
 
         return epoch
+
+    @staticmethod
+    def _scan_chunk() -> int:
+        """Max batches per scanned-epoch dispatch.  Large single scans
+        (~90 two-step rehearsal iterations) reliably fault the tunneled
+        TPU worker; chunking bounds the per-executable scan length at a
+        negligible dispatch cost.  Override: SEVENN_EPOCH_SCAN_CHUNK."""
+        import os
+
+        return max(1, int(os.environ.get('SEVENN_EPOCH_SCAN_CHUNK', '48')))
 
     def _stacked_for(self, loader):
         """[n_batches, ...] device pytree of a cache=True loader's
@@ -358,13 +369,17 @@ class Trainer:
         acc = init_accumulators(self.metric_specs)
         if getattr(loader, 'cache', False) and not self.dp:
             stacked = self._stacked_for(loader)
-            order = jnp.asarray(loader.epoch_order(), jnp.int32)
-            if is_train:
-                self.params, self.opt_state, acc = self._train_epoch(
-                    self.params, self.opt_state, acc, stacked, order
-                )
-            else:
-                acc = self._eval_epoch(self.params, acc, stacked, order)
+            order = loader.epoch_order()
+            chunk = self._scan_chunk()
+            for lo in range(0, len(order), chunk):
+                part = jnp.asarray(order[lo:lo + chunk], jnp.int32)
+                if is_train:
+                    self.params, self.opt_state, acc = self._train_epoch(
+                        self.params, self.opt_state, acc, stacked, part
+                    )
+                else:
+                    acc = self._eval_epoch(self.params, acc, stacked,
+                                           part)
         else:
             for batch in self._epoch_batches(loader):
                 if is_train:
@@ -397,13 +412,17 @@ class Trainer:
         ):
             stacked = self._stacked_for(loader)
             mem_stacked = self._stacked_for(memloader)
-            order = jnp.asarray(loader.epoch_order(), jnp.int32)
+            order = loader.epoch_order()
             mem_order = jnp.asarray(memloader.epoch_order(), jnp.int32)
-            (self.params, self.opt_state, acc, mem_acc) = \
-                self._rehearsal_epoch(
-                    self.params, self.opt_state, acc, mem_acc,
-                    stacked, order, mem_stacked, mem_order,
-                )
+            chunk = self._scan_chunk()
+            for lo in range(0, len(order), chunk):
+                part = jnp.asarray(order[lo:lo + chunk], jnp.int32)
+                (self.params, self.opt_state, acc, mem_acc) = \
+                    self._rehearsal_epoch(
+                        self.params, self.opt_state, acc, mem_acc,
+                        stacked, part, mem_stacked, mem_order,
+                        jnp.asarray(lo, jnp.int32),
+                    )
             if not fetch:
                 return None, None
             return (
