@@ -155,7 +155,12 @@ DEFAULT_DATA_CONFIG: Dict[str, Any] = {
     K.BATCH_SIZE: 6,
     K.PREPROCESS_NUM_CORES: 1,
     K.DATA_SHUFFLE: True,
-    K.CACHE_BATCHES: True,
+    # False = reference semantics: batch MEMBERSHIP reshuffles every
+    # epoch (collate re-runs per epoch).  True = opt-in fast path:
+    # collate once, freeze membership, reshuffle only batch ORDER --
+    # semantics differ from the reference (ADVICE r3 medium), so it must
+    # be requested, not inherited by unmodified reference YAMLs.
+    K.CACHE_BATCHES: False,
     K.SAVE_DATASET: False,
     K.SAVE_BY_LABEL: False,
     K.SAVE_BY_TRAIN_VALID: False,

@@ -251,12 +251,26 @@ def read_extxyz(path: str) -> List[Structure]:
                 energy = float(kv[ekey])
                 break
         stress = None
-        if 'stress' in kv:  # ASE convention on disk, eV/A^3
+        if 'stress' in kv:
             sv = np.array([float(x) for x in kv['stress'].split()])
-            if sv.size == 9:  # row-major 3x3
+            if sv.size == 9:  # row-major 3x3, ASE convention, eV/A^3
                 stress = _matrix_to_internal_stress(sv.reshape(3, 3))
-            elif sv.size == 6:  # ASE Voigt (xx yy zz yz xz xy)
-                stress = -sv[[0, 1, 2, 5, 3, 4]]
+            elif sv.size == 6:
+                # 6-component stress is this repo's LEGACY on-disk form:
+                # the internal convention verbatim (negated virial, order
+                # xx yy zz xy yz zx -- what the pre-round-4 write_extxyz
+                # emitted).  It must stay readable as written: briefly
+                # interpreting it as ASE Voigt silently sign-flipped and
+                # permuted the off-diagonals of every legacy file
+                # (round-3 advisor finding).  ASE-convention Voigt input
+                # must carry an explicit tag to be treated as such; the
+                # current writer always emits the unambiguous 9-component
+                # matrix form.
+                if kv.get('stress_convention') == 'ase_voigt':
+                    # tagged ASE Voigt (xx yy zz yz xz xy, positive)
+                    stress = -sv[[0, 1, 2, 5, 3, 4]]
+                else:
+                    stress = sv
         out.append(Structure(
             species=species, pos=pos, cell=cell, pbc=pbc, energy=energy,
             forces=forces, stress=stress, info={'file': path},

@@ -598,6 +598,9 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
             [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
             emb, blk.act_radial,
         )
+        # gather_rows' transpose DROPS padded-edge cotangents; that is
+        # exact here because EDGE_MASK zeroes the radial embedding, so
+        # padded messages and their gradients are identically zero
         x_src = gather_rows(x_all, edge_src,
                             src_perm if exchange_fn is None else None)
         msg = apply_tp(blk.conv_tp, x_src, edge_attr, w_edge)

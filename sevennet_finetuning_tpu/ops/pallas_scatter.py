@@ -144,16 +144,31 @@ def gather_rows(
     )
     if _IMPL_OVERRIDE is not None:
         use = _IMPL_OVERRIDE == 'pallas' and perm is not None
-    if not use:
+    if perm is None:
         return x[idx]
 
+    # Both implementations share the SAME sentinel semantics: clamp in
+    # the forward, DROP out-of-range cotangents in the transpose (the
+    # plain `x[idx]` transpose would instead accumulate them into the
+    # clamped last row).  Dropping is correct for every caller in this
+    # repo because padded-edge cotangents are exactly zero -- the radial
+    # embedding EDGE_MASK zeroes padded messages and their gradients --
+    # and making the XLA oracle drop too means a future caller violating
+    # that invariant diverges from `x[idx]` in BOTH paths and is caught
+    # by any oracle comparison, instead of silently only when the kernel
+    # is enabled (ADVICE r3 low).
     def fwd(res, xx):
         idx_, _ = res
         return xx[jnp.minimum(idx_, n_rows - 1)]
 
     def trans(res, ct):
         idx_, perm_ = res
-        return segment_sum_sorted(ct[perm_], idx_[perm_], n_rows)
+        if use:
+            return segment_sum_sorted(ct[perm_], idx_[perm_], n_rows)
+        return jax.ops.segment_sum(
+            jnp.where((idx_ < n_rows)[:, None], ct, 0.0), idx_,
+            num_segments=n_rows,
+        )
 
     return jax.custom_derivatives.linear_call(fwd, trans, (idx, perm), x)
 
@@ -240,9 +255,17 @@ def _tile_bounds(dst: jnp.ndarray, num_node_tiles: int,
 
 def _default_precision():
     """Matmul mode for the one-hot reduce; override with
-    SEVENN_SCATTER_PRECISION=bf16x2|highest|bf16 (default bf16x2: two
-    single-pass MXU dots, ~2^-18 relative error)."""
-    name = os.environ.get('SEVENN_SCATTER_PRECISION', 'bf16x2').lower()
+    SEVENN_SCATTER_PRECISION=highest|bf16x2|bf16.
+
+    Default 'highest' (lax HIGHEST, exact-f32): every aggregation in the
+    model rides this kernel (messages, total energy, forces, virial), the
+    'bit-identical losses' A/B validation and the 1e-5 reference-parity
+    bar (ops/precision.py) were both established under the exact path,
+    and ~2 extra MXU passes on the one-hot reduce are noise next to the
+    TP chain (ADVICE r3 medium: bf16x2-by-default silently changed the
+    validated numerics).  Benchmarks may opt into 'bf16x2' (~2^-18
+    relative error, two single-pass dots) explicitly."""
+    name = os.environ.get('SEVENN_SCATTER_PRECISION', 'highest').lower()
     assert name in ('bf16x2', 'highest', 'bf16'), name
     return name
 

@@ -528,7 +528,13 @@ def train(config: Dict, working_dir: str = '.',
     # train step serves every loader (each extra shape costs a full XLA
     # compile of the double-backprop graph -- minutes at SevenNet scale)
     mem_batch = config.get(K.MEM_BATCH_SIZE, 1)
-    cache = bool(config.get(K.CACHE_BATCHES, True))
+    cache = bool(config.get(K.CACHE_BATCHES, False))
+    if cache:
+        logger.writeline(
+            'cache_batches: True -- batch membership is frozen after the '
+            'first collate (only batch order reshuffles per epoch); the '
+            'reference reshuffles membership every epoch'
+        )
     # probes carry the cache flag so the balanced-packing capacities
     # (not the pessimistic any-shuffle bound) set the shared shape
     probes = [Loader(train_set, batch_size, cache=cache, **shard_kw),
@@ -750,6 +756,19 @@ def run_epochs(
 
             jax.block_until_ready(trainer.params)
             logger.timer_end('epoch', f'epoch {epoch} time (no metrics)')
+            # periodic checkpoints do not need metrics -- params are on
+            # hand -- so the cadence holds even when per_epoch is not a
+            # multiple of metrics_every (ADVICE r3 low: the old early
+            # `continue` silently skipped them)
+            if per_epoch and epoch % per_epoch == 0 \
+                    and _process_rank() == 0:
+                ckpt = trainer.get_checkpoint_dict()
+                save_checkpoint(
+                    os.path.join(working_dir, f'checkpoint_{epoch}.pth'),
+                    ckpt['model_state_dict'], config, epoch,
+                    optimizer_state=ckpt['optimizer_state_dict'],
+                    scheduler_state=ckpt['scheduler_state_dict'],
+                )
             continue
         valid_m = trainer.run_one_epoch(valid_loader, is_train=False)
 

@@ -346,17 +346,31 @@ def test_extxyz_stress_is_ase_convention(tmp_path):
     ]).ravel()
     np.testing.assert_allclose(vals, expect, atol=1e-9)
 
-    # an ase-written 6-component Voigt (xx yy zz yz xz xy) stress line
-    # reads back into the internal convention too
-    p2 = tmp_path / 'asewrote.extxyz'
-    voigt_std = -internal[[0, 1, 2, 4, 5, 3]]  # std Voigt: yz xz xy last
+    # UNTAGGED 6-component stress is this repo's legacy on-disk dialect:
+    # the internal convention verbatim.  It must read back unchanged
+    # (ADVICE r3 high: briefly treating it as ASE Voigt sign-flipped and
+    # permuted the off-diagonals of every legacy file).
+    p2 = tmp_path / 'legacy.extxyz'
     p2.write_text(
         '1\nLattice="5 0 0 0 5 0 0 0 5" Properties=species:S:1:pos:R:3 '
-        'stress="' + ' '.join(f'{x:.9f}' for x in voigt_std) + '"\n'
+        'stress="' + ' '.join(f'{x:.9f}' for x in internal) + '"\n'
         'Hf 0 0 0\n'
     )
     back2 = read_extxyz(str(p2))[0]
     np.testing.assert_allclose(back2.stress, internal, atol=1e-8)
+
+    # an ase-convention 6-component Voigt (xx yy zz yz xz xy) line needs
+    # the explicit stress_convention=ase_voigt tag to be treated as such
+    p3 = tmp_path / 'asewrote.extxyz'
+    voigt_std = -internal[[0, 1, 2, 4, 5, 3]]  # std Voigt: yz xz xy last
+    p3.write_text(
+        '1\nLattice="5 0 0 0 5 0 0 0 5" Properties=species:S:1:pos:R:3 '
+        'stress_convention=ase_voigt '
+        'stress="' + ' '.join(f'{x:.9f}' for x in voigt_std) + '"\n'
+        'Hf 0 0 0\n'
+    )
+    back3 = read_extxyz(str(p3))[0]
+    np.testing.assert_allclose(back3.stress, internal, atol=1e-8)
 
 
 class _FakeAtoms:
