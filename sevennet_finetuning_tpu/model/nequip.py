@@ -37,7 +37,7 @@ from ..ops.linear import (
     init_linear_weights,
     linear_spec,
 )
-from ..ops.mlp import mlp_apply, mlp_init
+from ..ops.mlp import mlp_apply, mlp_apply_T, mlp_init
 from ..ops.pallas_scatter import (
     aggregate_messages,
     gather_rows,
@@ -55,6 +55,17 @@ from ..ops.tensor_product import (
 from ..ops.util import safe_norm
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
+
+
+def use_fused_conv() -> bool:
+    """The fused quadrilinear CG convolution (ops/fused_conv.py) is the
+    default everywhere: its XLA implementation is the oracle/CPU path
+    and its Pallas kernels are the TPU path.  SEVENN_FUSED_CONV=0
+    restores the round-3 per-instruction apply_tp chain (read at trace
+    time, so flip it before building the step)."""
+    import os
+
+    return os.environ.get('SEVENN_FUSED_CONV', '1') != '0'
 
 
 def resolve_remat(spec: 'ModelSpec', n_edge: int, remat='auto') -> bool:
@@ -532,6 +543,7 @@ def run_blocks(
     if cap is None:
         def cap(name, val):
             return None
+        cap.noop = True
     elif remat:
         raise ValueError('intermediate capture requires remat=False')
 
@@ -577,9 +589,17 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
     if sc is not None:
         cap(f'{t}_self_connection_intro', sc)
 
+    fused = blk.conv_kind == 'cg' and use_fused_conv()
     x = apply_linear(blk.si1,
-                     _linear_w(params[f'{t}_self_interaction_1']), x)
-    cap(f'{t}_self_interaction_1', x)
+                     _linear_w(params[f'{t}_self_interaction_1']), x,
+                     out_stride=fused)
+    if fused:
+        if not getattr(cap, 'noop', False):
+            from ..ops.fused_conv import stride_to_e3nn as _s2e
+
+            cap(f'{t}_self_interaction_1', _s2e(blk.irreps_x, x))
+    else:
+        cap(f'{t}_self_interaction_1', x)
 
     conv_p = params[f'{t}_convolution']
     n_w = len(blk.radial_hs) - 1
@@ -593,6 +613,33 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
             x_all, edge_attr, emb, edge_src, edge_dst, n_node,
             conv_p['denominator'], sorted_dst=edges_sorted,
         )
+    elif fused:
+        # fused edge-tile CG convolution (ops/fused_conv.py): the whole
+        # radial-MLP -> grouped-CG -> weight chain runs feature-major
+        # with the per-(i, path) structure in sublanes; on TPU each AD
+        # mode is ONE Pallas kernel instead of the per-instruction
+        # einsum chain's ~10 HBM round trips (PROFILE.md section 4)
+        from ..ops.fused_conv import (
+            conv_messages_T,
+            layout_from_spec,
+            stride_to_e3nn,
+        )
+
+        layout = layout_from_spec(blk.conv_tp)
+        w_edge_T = mlp_apply_T(
+            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+            emb.T, blk.act_radial,
+        )
+        # gather_rows' transpose DROPS padded-edge cotangents; exact
+        # here because EDGE_MASK zeroes the radial embedding, so padded
+        # messages and their gradients are identically zero
+        x_src = gather_rows(x_all, edge_src,
+                            src_perm if exchange_fn is None else None)
+        msg_T = conv_messages_T(layout, x_src.T, edge_attr.T, w_edge_T)
+        x = aggregate_messages(msg_T.T, edge_dst, n_node, edges_sorted)
+        x = x / conv_p['denominator']
+        # back to the e3nn flat layout at the (cheap) node-sized boundary
+        x = stride_to_e3nn(blk.conv_tp.irreps_out, x)
     else:
         w_edge = mlp_apply(
             [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],

@@ -86,8 +86,16 @@ def apply_linear(
     spec: LinearSpec,
     weights,
     x: jnp.ndarray,
+    out_stride: bool = False,
 ) -> jnp.ndarray:
-    """x: [..., irreps_in.dim] -> [..., irreps_out.dim]."""
+    """x: [..., irreps_in.dim] -> [..., irreps_out.dim].
+
+    ``out_stride=True`` emits each output chunk in the stride layout
+    [ir.dim, mul] (i-major) instead of e3nn's [mul, ir.dim] -- the
+    layout the fused convolution consumes (ops/fused_conv.py).  It is
+    FREE here: the einsum already produces [..., i, v] and the final
+    swapaxes is simply skipped.
+    """
     sl_in = spec.irreps_in.slices()
     dtype = x.dtype
     n_out = len(spec.irreps_out)
@@ -106,9 +114,10 @@ def apply_linear(
                 '...ui,uv->...iv', a, jnp.asarray(w, dtype=dtype),
                 precision=matmul_precision(),
             )
-            res = jnp.swapaxes(res, -1, -2)
+            if not out_stride:
+                res = jnp.swapaxes(res, -1, -2)
             res = res.reshape(res.shape[:-2] + (mo.dim,))
-        else:  # bias on scalars
+        else:  # bias on scalars (d == 1: both layouts coincide)
             res = jnp.broadcast_to(
                 jnp.asarray(w, dtype=dtype), x.shape[:-1] + (mo.mul,)
             )

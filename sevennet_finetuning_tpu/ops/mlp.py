@@ -43,3 +43,24 @@ def mlp_apply(
         if i < n - 1:
             x = act(x)
     return x
+
+
+def mlp_apply_T(
+    weights: Sequence[jnp.ndarray],
+    x_T: jnp.ndarray,
+    act_name: str,
+) -> jnp.ndarray:
+    """Feature-major variant: x_T is [features, batch]; same math as
+    ``mlp_apply`` with the transposition folded into the matmuls (the
+    fused convolution consumes per-edge weights feature-major)."""
+    act = get_activation(act_name, normalized=True)
+    n = len(weights)
+    for i, w in enumerate(weights):
+        h_in = w.shape[0]
+        x_T = jnp.matmul(
+            jnp.swapaxes(w.astype(x_T.dtype), 0, 1) / math.sqrt(h_in),
+            x_T, precision=matmul_precision()
+        )
+        if i < n - 1:
+            x_T = act(x_T)
+    return x_T

@@ -84,18 +84,9 @@ def aggregate_messages(
     SEVENN_NO_PALLAS=1 forces the XLA path (correctness oracle);
     unsorted callers (halo ghost edges) always use XLA scatter-add.
     """
-    use_pallas = (
-        sorted_dst
-        and jax.default_backend() == 'tpu'
-        and not os.environ.get('SEVENN_NO_PALLAS')
-    )
-    if _IMPL_OVERRIDE is not None:
-        use_pallas = _IMPL_OVERRIDE == 'pallas' and sorted_dst
-    if use_pallas:
-        return segment_sum_sorted(msg, dst, n_node)
-    return jax.ops.segment_sum(
-        msg, dst, num_segments=n_node, indices_are_sorted=sorted_dst
-    )
+    return _bind_seg(msg, dst, dst, mode='scatter', n_rows=n_node,
+                     sorted_idx=sorted_dst, has_perm=False,
+                     zero_oob=False)
 
 
 def scatter_rows(
@@ -109,16 +100,10 @@ def scatter_rows(
     (collate ships one for the source index, K.EDGE_SRC_PERM): the
     values are permuted (one cheap gather) and summed by the sorted
     kernel instead of XLA's serial scatter-add."""
-    use_pallas = (
-        perm is not None
-        and jax.default_backend() == 'tpu'
-        and not os.environ.get('SEVENN_NO_PALLAS')
-    )
-    if _IMPL_OVERRIDE is not None:
-        use_pallas = _IMPL_OVERRIDE == 'pallas' and perm is not None
-    if use_pallas:
-        return segment_sum_sorted(values[perm], idx[perm], n_rows)
-    return jax.ops.segment_sum(values, idx, num_segments=n_rows)
+    if perm is None:
+        return jax.ops.segment_sum(values, idx, num_segments=n_rows)
+    return _bind_seg(values, idx, perm, mode='scatter', n_rows=n_rows,
+                     sorted_idx=False, has_perm=True, zero_oob=False)
 
 
 def gather_rows(
@@ -128,49 +113,21 @@ def gather_rows(
 ) -> jnp.ndarray:
     """``x[idx]`` whose AD transpose (scatter-add of cotangents by
     ``idx``) rides the sorted kernel via ``perm`` (static, idx[perm]
-    ascending).  Without a perm / off TPU this is a plain gather.
+    ascending).  Without a perm this is a plain gather.
 
-    Sentinel semantics: out-of-range idx rows (padded edges) clamp in
-    the forward like a plain gather; in the transpose the kernel DROPS
-    them instead of accumulating into the clamped row -- identical
-    results here because padded-edge cotangents are exactly zero (the
-    radial embedding mask kills padded messages and their gradients).
+    Sentinel semantics (with perm): out-of-range idx rows (padded edges)
+    clamp in the forward like a plain gather; the transpose DROPS their
+    cotangents instead of accumulating into the clamped last row --
+    IDENTICAL in both the kernel and XLA implementations, so a caller
+    violating the zero-cotangent precondition diverges from ``x[idx]``
+    everywhere and is caught by any oracle comparison (ADVICE r3 low).
+    Dropping is exact for every caller in this repo because the radial
+    embedding EDGE_MASK zeroes padded messages and their gradients.
     """
-    n_rows = x.shape[0]
-    use = (
-        perm is not None
-        and jax.default_backend() == 'tpu'
-        and not os.environ.get('SEVENN_NO_PALLAS')
-    )
-    if _IMPL_OVERRIDE is not None:
-        use = _IMPL_OVERRIDE == 'pallas' and perm is not None
     if perm is None:
         return x[idx]
-
-    # Both implementations share the SAME sentinel semantics: clamp in
-    # the forward, DROP out-of-range cotangents in the transpose (the
-    # plain `x[idx]` transpose would instead accumulate them into the
-    # clamped last row).  Dropping is correct for every caller in this
-    # repo because padded-edge cotangents are exactly zero -- the radial
-    # embedding EDGE_MASK zeroes padded messages and their gradients --
-    # and making the XLA oracle drop too means a future caller violating
-    # that invariant diverges from `x[idx]` in BOTH paths and is caught
-    # by any oracle comparison, instead of silently only when the kernel
-    # is enabled (ADVICE r3 low).
-    def fwd(res, xx):
-        idx_, _ = res
-        return xx[jnp.minimum(idx_, n_rows - 1)]
-
-    def trans(res, ct):
-        idx_, perm_ = res
-        if use:
-            return segment_sum_sorted(ct[perm_], idx_[perm_], n_rows)
-        return jax.ops.segment_sum(
-            jnp.where((idx_ < n_rows)[:, None], ct, 0.0), idx_,
-            num_segments=n_rows,
-        )
-
-    return jax.custom_derivatives.linear_call(fwd, trans, (idx, perm), x)
+    return _bind_seg(x, idx, perm, mode='gather', n_rows=x.shape[0],
+                     sorted_idx=False, has_perm=True, zero_oob=False)
 
 
 def _kernel(TN: int, TE: int, precision,
@@ -291,23 +248,216 @@ def segment_sum_sorted(
     composition of forward/reverse AD (the training loss needs
     grad-of-grad: forces are themselves gradients).
     """
-    if precision is None:
-        precision = _default_precision()
-    return _seg_sum(msg, dst, n_node, node_tile, edge_tile, interpret,
-                    precision)
+    return _bind_seg(msg, dst, dst, mode='scatter', n_rows=n_node,
+                     sorted_idx=True, has_perm=False, zero_oob=False,
+                     node_tile=node_tile, edge_tile=edge_tile,
+                     interpret=interpret, precision=precision)
 
 
-def _seg_sum(msg, dst, n_node, TN, TE, interpret, precision):
-    def scatter(dst_res, m):
-        return _forward(m, dst_res, n_node, TN, TE, interpret, precision)
+# ---------------------------------------------------------------------------
+# the scatter/gather adjoint pair as one primitive
+# ---------------------------------------------------------------------------
+#
+# modes ('values' is the only differentiable argument; 'idx' addresses
+# rows; 'perm' statically sorts idx for kernel routing, ignored unless
+# has_perm):
+#
+#   'scatter': values [E, D], idx [E] -> out [n_rows, D]
+#              out[n] = sum_{e: idx[e] == n} values[e]; idx >= n_rows
+#              dropped.  Kernel-routed when sorted_idx (directly) or
+#              has_perm (via values[perm]).
+#   'gather' : values [n_rows, D], idx [E] -> out [E, D]
+#              out[e] = values[min(idx[e], n_rows-1)]; zero_oob=True
+#              reads 0 for idx >= n_rows instead (the exact adjoint of
+#              the scatter's drop semantics).
+#
+# transpose(scatter) = gather(zero_oob=True); transpose(gather) =
+# scatter -- exact for zero_oob, and for the clamp forward it relies on
+# the documented zero-cotangent invariant for out-of-range rows.
+# Registered as a primitive (not linear_call) so it also has a BATCHING
+# rule: the DP trainer vmaps the model over the shard axis, and
+# linear_call has no batching support.
 
-    def gather(dst_res, g):
-        # adjoint: rows past n_node (padded edges) read zero; XLA
-        # handles the gather at full speed
-        safe = jnp.minimum(dst_res, n_node - 1)
-        return jnp.where((dst_res < n_node)[:, None], g[safe], 0.0)
+from jax._src import core as _jcore
+from jax._src import dispatch as _jdispatch
+from jax.extend.core import Primitive as _Primitive
+from jax.interpreters import ad as _ad
+from jax.interpreters import batching as _batching
+from jax.interpreters import mlir as _mlir
 
-    return jax.custom_derivatives.linear_call(scatter, gather, dst, msg)
+seg_rows_p = _Primitive('sevenn_seg_rows')
+
+# trace-time interpreter override so CPU tests can exercise the kernel
+# (set directly by tests; composes with force_impl('pallas'))
+_INTERPRET_OVERRIDE = False
+
+
+def _bind_seg(values, idx, perm, *, mode, n_rows, sorted_idx, has_perm,
+              zero_oob, node_tile=DEFAULT_NODE_TILE,
+              edge_tile=DEFAULT_EDGE_TILE, interpret=False,
+              precision=None):
+    assert values.ndim == 2, values.shape
+    # dynamic overrides are resolved INTO the primitive params here so
+    # (a) the eager dispatch cache is keyed on them and (b) transposed /
+    # batched binds inherit the configuration they were traced under
+    values, idx, perm = _jcore.standard_insert_pvary(values, idx, perm)
+    return seg_rows_p.bind(
+        values, idx, perm, mode=mode, n_rows=int(n_rows),
+        sorted_idx=bool(sorted_idx), has_perm=bool(has_perm),
+        zero_oob=bool(zero_oob), node_tile=node_tile,
+        edge_tile=edge_tile,
+        interpret=bool(interpret or _INTERPRET_OVERRIDE),
+        precision=precision, impl=_IMPL_OVERRIDE,
+    )
+
+
+def _bind_raw(values, idx, perm, **params):
+    values, idx, perm = _jcore.standard_insert_pvary(values, idx, perm)
+    return seg_rows_p.bind(values, idx, perm, **params)
+
+
+def _seg_abstract(values, idx, perm, *, mode, n_rows, **_):
+    if mode == 'scatter':
+        shape = (n_rows, values.shape[1])
+    else:
+        shape = (idx.shape[0], values.shape[1])
+    # propagate shard_map varying-manual-axes info (see fused_conv.py:
+    # claiming replicated outputs makes shard_map transposes over-psum)
+    vma = _jcore.standard_vma_rule('sevenn_seg_rows', values, idx, perm)
+    return values.update(shape=shape, vma=vma)
+
+
+seg_rows_p.def_abstract_eval(_seg_abstract)
+
+
+def _kernel_enabled(sorted_idx, has_perm, interpret, impl):
+    if not (sorted_idx or has_perm):
+        return False
+    if interpret:
+        return True
+    if impl is not None:
+        return impl == 'pallas'
+    return (jax.default_backend() == 'tpu'
+            and not os.environ.get('SEVENN_NO_PALLAS'))
+
+
+def _seg_impl(values, idx, perm, *, mode, n_rows, sorted_idx, has_perm,
+              zero_oob, node_tile, edge_tile, interpret, precision,
+              impl):
+    if mode == 'scatter':
+        if _kernel_enabled(sorted_idx, has_perm, interpret, impl):
+            prec = precision or _default_precision()
+            if sorted_idx:
+                return _forward(values, idx, n_rows, node_tile,
+                                edge_tile, interpret, prec)
+            return _forward(values[perm], idx[perm], n_rows, node_tile,
+                            edge_tile, interpret, prec)
+        # XLA oracle: segment_sum drops out-of-range indices, matching
+        # the kernel's sentinel semantics exactly
+        return jax.ops.segment_sum(
+            values, idx, num_segments=n_rows,
+            indices_are_sorted=sorted_idx,
+        )
+    # gather: XLA is already fast; kernel routing only matters for the
+    # scatter side
+    safe = jnp.minimum(idx, n_rows - 1)
+    out = values[safe]
+    if zero_oob:
+        out = jnp.where((idx < n_rows)[:, None], out, 0.0)
+    return out
+
+
+seg_rows_p.def_impl(
+    functools.partial(_jdispatch.apply_primitive, seg_rows_p))
+_mlir.register_lowering(
+    seg_rows_p, _mlir.lower_fun(_seg_impl, multiple_results=False))
+
+
+def _seg_jvp(primals, tangents, **params):
+    values, idx, perm = primals
+    out = _bind_raw(values, idx, perm, **params)
+    dv = tangents[0]
+    if isinstance(dv, _ad.Zero):
+        return out, _ad.Zero.from_primal_value(out)
+    return out, _bind_raw(dv, idx, perm, **params)
+
+
+_ad.primitive_jvps[seg_rows_p] = _seg_jvp
+
+
+def _seg_transpose(ct, values, idx, perm, *, mode, n_rows, sorted_idx,
+                   has_perm, zero_oob, node_tile, edge_tile, interpret,
+                   precision, impl):
+    assert isinstance(values, _ad.UndefinedPrimal)
+    if isinstance(ct, _ad.Zero):
+        return _ad.Zero(values.aval), None, None
+    common = dict(n_rows=n_rows, sorted_idx=sorted_idx,
+                  has_perm=has_perm, node_tile=node_tile,
+                  edge_tile=edge_tile, interpret=interpret,
+                  precision=precision, impl=impl)
+    if mode == 'scatter':
+        dv = _bind_raw(ct, idx, perm, mode='gather',
+                       zero_oob=True, **common)
+    else:
+        dv = _bind_raw(ct, idx, perm, mode='scatter',
+                       zero_oob=False, **common)
+    return dv, None, None
+
+
+_ad.primitive_transposes[seg_rows_p] = _seg_transpose
+
+
+def _seg_batcher(args, dims, *, mode, n_rows, sorted_idx, has_perm,
+                 zero_oob, node_tile, edge_tile, interpret, precision,
+                 impl):
+    """Fold the batch axis into the row axis with a per-batch stride of
+    ``n_rows + 1``: row ``n_rows`` of every batch slot is the drop/zero
+    sentinel, so sortedness, drop semantics, and the perm routing all
+    survive batching (and therefore so do the kernels)."""
+    values, idx, perm = args
+    dv, di, dp = dims
+    B = next(v.shape[d] for v, d in zip(args, dims)
+             if d is not _batching.not_mapped)
+
+    def front(v, d):
+        if d is _batching.not_mapped:
+            return jnp.broadcast_to(v[None], (B,) + v.shape)
+        return jnp.moveaxis(v, d, 0)
+
+    values = front(values, dv)                 # [B, R, D]
+    idx = front(idx, di)                       # [B, E]
+    perm = front(perm, dp)                     # [B, E]
+    E = idx.shape[1]
+    boff = jnp.arange(B, dtype=idx.dtype)[:, None]
+    stride = n_rows + 1
+    idx_f = (jnp.minimum(idx, n_rows) + boff * stride).reshape(-1)
+    perm_f = (perm + boff * E).reshape(-1)
+
+    common = dict(sorted_idx=sorted_idx, has_perm=has_perm,
+                  node_tile=node_tile, edge_tile=edge_tile,
+                  interpret=interpret, precision=precision, impl=impl)
+    if mode == 'scatter':
+        vals_f = values.reshape(B * values.shape[1], values.shape[2])
+        out = _bind_raw(
+            vals_f, idx_f, perm_f, mode='scatter', n_rows=B * stride,
+            zero_oob=zero_oob, **common,
+        )
+        out = out.reshape(B, stride, -1)[:, :n_rows]
+        return out, 0
+    # gather: append the per-batch sentinel row (zeros); the clamp
+    # forward re-clamps to n_rows - 1 per batch first
+    if not zero_oob:
+        idx_f = (jnp.minimum(idx, n_rows - 1) + boff * stride).reshape(-1)
+    vals_p = jnp.pad(values, ((0, 0), (0, 1), (0, 0)))
+    vals_f = vals_p.reshape(B * stride, values.shape[2])
+    out = _bind_raw(
+        vals_f, idx_f, perm_f, mode='gather', n_rows=B * stride,
+        zero_oob=zero_oob, **common,
+    )
+    return out.reshape(B, E, -1), 0
+
+
+_batching.primitive_batchers[seg_rows_p] = _seg_batcher
 
 
 def _forward(msg, dst, n_node, TN, TE, interpret, precision):

@@ -161,12 +161,9 @@ def test_gather_rows_transpose_scatter(monkeypatch):
     autodiff.  Exercised via the interpret-mode kernel on CPU."""
     import sevennet_finetuning_tpu.ops.pallas_scatter as ps
 
-    # route segment_sum_sorted through the interpreter on CPU
-    orig = ps.segment_sum_sorted
-    monkeypatch.setattr(
-        ps, 'segment_sum_sorted',
-        lambda m, d, n, **kw: orig(m, d, n, interpret=True),
-    )
+    # route the kernel through the interpreter on CPU (resolved into the
+    # primitive params at bind time, so transposed binds inherit it)
+    monkeypatch.setattr(ps, '_INTERPRET_OVERRIDE', True)
 
     rng = np.random.default_rng(5)
     E, N, D = 300, 40, 8
@@ -200,3 +197,41 @@ def test_gather_rows_transpose_scatter(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(ps.gather_rows(x, idx_j, perm_j)),
             np.asarray(x[jnp.minimum(idx_j, N - 1)]), rtol=0, atol=0)
+
+
+def test_seg_primitive_vmap_and_grad(monkeypatch):
+    """The scatter/gather primitive folds vmap into the row axis with a
+    per-batch sentinel stride, so DP's model-vmap composes with the
+    kernels and with grad (checked against per-slice loops)."""
+    import sevennet_finetuning_tpu.ops.pallas_scatter as ps
+
+    rng = np.random.default_rng(9)
+    B, E, N, D = 3, 120, 40, 8
+    dst = np.sort(rng.integers(0, N, (B, E)), axis=1).astype(np.int32)
+    dst[:, -10:] = N  # sentinel tails
+    msg = rng.standard_normal((B, E, D)).astype(np.float32)
+    msg_j, dst_j = jnp.asarray(msg), jnp.asarray(dst)
+
+    def one(m, d):
+        return aggregate_messages(m, d, N, True)
+
+    out_v = jax.vmap(one)(msg_j, dst_j)
+    out_l = jnp.stack([one(msg_j[i], dst_j[i]) for i in range(B)])
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_l),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradient through the vmapped scatter
+    g_v = jax.grad(lambda m: jnp.sum(jax.vmap(one)(m, dst_j) ** 2))(msg_j)
+    g_l = jax.grad(
+        lambda m: sum(jnp.sum(one(m[i], dst_j[i]) ** 2) for i in range(B))
+    )(msg_j)
+    np.testing.assert_allclose(np.asarray(g_v), np.asarray(g_l),
+                               rtol=1e-5, atol=1e-5)
+
+    # same through the interpret-mode kernel (sortedness must survive
+    # the batch-offset folding)
+    monkeypatch.setattr(ps, '_INTERPRET_OVERRIDE', True)
+    with ps.force_impl('pallas'):
+        out_k = jax.vmap(one)(msg_j, dst_j)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_l),
+                               rtol=1e-5, atol=1e-5)
