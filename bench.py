@@ -137,7 +137,14 @@ def main():
 
     N_STEPS = 20
 
-    def make_scan_steps(impl):
+    def make_scan_steps(fused_conv):
+        # the A/B axis is the round-4 fused quadrilinear convolution
+        # (Pallas kernels for every AD mode of the CG TP) vs the round-3
+        # per-instruction chain; both ride the sorted-scatter kernel
+        import os
+
+        os.environ['SEVENN_FUSED_CONV'] = '1' if fused_conv else '0'
+
         def one_step(p, o, t):
             def lfn(pp):
                 out = apply_model(spec, pp, batch, remat='auto')
@@ -156,10 +163,9 @@ def main():
                 body, (p, o, jnp.zeros(())), None, length=N_STEPS)
             return t
 
-        with ps.force_impl(impl):
-            t0 = time.time()
-            loss = float(scan_steps(params, opt_state))  # compile+run
-            compile_s = time.time() - t0
+        t0 = time.time()
+        loss = float(scan_steps(params, opt_state))  # compile+run
+        compile_s = time.time() - t0
         return scan_steps, compile_s, loss
 
     def time_scan(fn, rounds=3):
@@ -170,10 +176,10 @@ def main():
             ts.append(time.time() - t0)
         return statistics.median(ts) / N_STEPS
 
-    scan_xla, compile_s, loss_xla = make_scan_steps('xla')
-    scan_pal, _, loss_pal = make_scan_steps('pallas')
-    dt_xla = time_scan(scan_xla)
-    dt_pal = time_scan(scan_pal)
+    scan_old, compile_s, loss_xla = make_scan_steps(False)
+    scan_fused, _, loss_pal = make_scan_steps(True)
+    dt_xla = time_scan(scan_old)
+    dt_pal = time_scan(scan_fused)
     dt = min(dt_xla, dt_pal)
 
     # epoch-level throughput INCLUDING the input pipeline and the
@@ -210,8 +216,8 @@ def main():
             'timing': 'fetch-forced scans (see PROFILE.md); '
                       'block_until_ready does not sync on this runtime',
             'control_bf16_matmul_tflops': round(control_tflops, 1),
-            'step_ms_xla_scatter': round(dt_xla * 1e3, 2),
-            'step_ms_pallas_scatter': round(dt_pal * 1e3, 2),
+            'step_ms_round3_chain': round(dt_xla * 1e3, 2),
+            'step_ms_fused_conv': round(dt_pal * 1e3, 2),
             'instep_edges_per_s_best': round(edges_per_s, 1),
             'epoch_s_120_structs_with_metric_fetch': round(epoch_s, 3),
             'epoch_cold_s_collate_h2d_compile': round(cold_s, 1),
