@@ -73,9 +73,19 @@ def resolve_remat(spec: 'ModelSpec', n_edge: int, remat='auto') -> bool:
 
     Checkpointing each block cuts double-backprop activation memory by
     ~L x but costs ~2.5-3x step time on small batches, so only enable it
-    when the estimated live per-edge message residuals (forward residuals
-    + force-grad vjp + param-grad pass keep ~6 fp32 copies) exceed the
-    activation budget (env SEVENNET_TPU_ACT_BUDGET_GB, default 6 GiB).
+    when the estimated live per-edge message residuals exceed the
+    activation budget (env SEVENNET_TPU_ACT_BUDGET_GB, default 10 GiB
+    of the v5e's 16 GiB HBM -- params/optimizer/workspace are small next
+    to activations at these sizes).
+
+    Copies-per-residual calibration: the round-3 per-instruction chain
+    keeps ~6 fp32 copies of the mid irreps per edge live across the
+    force-grad vjp + param-grad passes.  The fused quadrilinear conv
+    (ops/fused_conv.py) saves only the primitive's operands/outputs --
+    ~3 copies -- verified empirically: the reference-scale reEWC epoch
+    (35k edge slots, batch 8, rehearsal double-step = 70k eq-edges)
+    runs un-rematted in HBM, 27.7 s/epoch vs 43.7 rematted
+    (experiments/ft_reewc_900, round 4).
     """
     scale = 1.0
     if isinstance(remat, tuple):  # ('auto', scale): scaled estimate,
@@ -85,7 +95,7 @@ def resolve_remat(spec: 'ModelSpec', n_edge: int, remat='auto') -> bool:
         return bool(remat)
     import os
 
-    budget_gb = float(os.environ.get('SEVENNET_TPU_ACT_BUDGET_GB', '6'))
+    budget_gb = float(os.environ.get('SEVENNET_TPU_ACT_BUDGET_GB', '10'))
     mid = 0
     for b in spec.blocks:
         tp = getattr(b, 'conv_tp', None)
@@ -93,7 +103,8 @@ def resolve_remat(spec: 'ModelSpec', n_edge: int, remat='auto') -> bool:
             mid += tp.irreps_out.dim
         else:  # gaunt blocks: 2D Fourier grid per edge
             mid += 4 * b.irreps_x.dim
-    est_bytes = 6.0 * 4.0 * float(n_edge) * float(mid) * scale
+    copies = 3.0 if use_fused_conv() else 6.0
+    est_bytes = copies * 4.0 * float(n_edge) * float(mid) * scale
     return est_bytes > budget_gb * 2.0 ** 30
 
 
