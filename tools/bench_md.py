@@ -129,7 +129,20 @@ def main():
         md = VelocityVerlet(s, calculator=calc, dt_fs=2.0)
         md.set_temperature(500.0, seed=1)
         t0 = time.time()
-        md.run_device(2, seg_steps=args.steps)   # compile + warmup
+        # warmup covers compile AND thermal equilibration of the edge
+        # capacity: the t=0 neighbor count underestimates the heated
+        # system's, and a capacity-bucket growth means one (persistent-
+        # cached) recompile -- a once-per-trajectory cost that a 60-step
+        # window must not be charged for.  Warm until the capacity has
+        # been stable for a full window (capped at 5 windows).
+        md.run_device(max(30, args.steps // 2), seg_steps=args.steps)
+        stable = 0
+        for _ in range(8):
+            cap = md._cap_edge
+            md.run_device(30, seg_steps=args.steps)
+            stable = stable + 1 if md._cap_edge == cap else 0
+            if stable >= 2:
+                break
         warm_s = time.time() - t0
         t0 = time.time()
         md.run_device(args.steps, seg_steps=args.steps)
