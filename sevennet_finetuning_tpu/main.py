@@ -67,6 +67,11 @@ def cmd_get_model(args):
     serves both the serial calculator and the multi-device halo-parallel
     executor (the model is a single program -- no per-layer segment
     files needed), so -p only changes the default file name.
+
+    ``--torchscript`` additionally emits a reference-compatible
+    ``deployed_serial.pt`` (compat.torchscript_export): a model
+    fine-tuned on TPU then runs in any existing LAMMPS setup built for
+    the reference's serial pair style.
     """
     import numpy as np
 
@@ -91,6 +96,14 @@ def cmd_get_model(args):
           f'{config.get(K.CUTOFF)}, {len(tm)} species')
     print('load with Calculator.from_checkpoint(...) or use for '
           'parallel MD via parallel.halo')
+    if getattr(args, 'torchscript', False):
+        from .compat.torchscript_export import export_serial
+        from .train.checkpoint import model_from_checkpoint
+
+        spec, params, _ = model_from_checkpoint(args.checkpoint)
+        ts_out = os.path.splitext(out)[0] + '.pt'
+        export_serial(spec, params, ts_out)
+        print(f'TorchScript (reference serial deploy format): {ts_out}')
 
 
 def cmd_preset(args):
@@ -147,6 +160,9 @@ def main(argv=None):
                         'self-contained potential artifact')
     gm.add_argument('checkpoint')
     gm.add_argument('-o', '--output')
+    gm.add_argument('-ts', '--torchscript', action='store_true',
+                    help='also emit a reference-compatible TorchScript '
+                         'deployed_serial.pt (LAMMPS interop)')
     gm.add_argument('-p', '--parallel', action='store_true',
                     help='name the artifact for parallel MD use')
     gm.set_defaults(func=cmd_get_model)
