@@ -52,10 +52,13 @@ class Calculator:
     def from_checkpoint(cls, path: str) -> 'Calculator':
         """Accepts our pickle checkpoints, reference torch .pth files,
         and the pickle-free npz deploy artifacts alike."""
+        from . import keys as K
         from .train.checkpoint import model_from_checkpoint
 
-        spec, params, _ = model_from_checkpoint(path)
-        return cls(spec, params)
+        spec, params, config = model_from_checkpoint(path)
+        # dispersion travels with the checkpoint config (model section
+        # key 'dispersion') so deployed potentials keep their D3 terms
+        return cls(spec, params, d3=(config or {}).get(K.DISPERSION))
 
     @classmethod
     def from_deployed(cls, path: str) -> 'Calculator':
@@ -119,6 +122,10 @@ class Calculator:
             'stress': stress,
             'stress_kbar': stress * STRESS_COEFF_KBAR,
         }
+
+    def d3_terms(self, s: Structure):
+        """(energy eV, forces, stress Voigt) of the D3 term alone."""
+        return self._d3_terms(s)
 
     def _d3_terms(self, s: Structure):
         import jax.numpy as jnp

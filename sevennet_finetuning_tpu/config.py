@@ -53,9 +53,15 @@ DEFAULT_MODEL_CONFIG: Dict[str, Any] = {
     K._NORMALIZE_SPH: True,
     K._RESTRICT_LAST_LAYER: True,
     K.USE_SPECIES_WISE_SHIFT_SCALE: False,
+    # Grimme D3 dispersion added on top of the GNN at inference/MD time
+    # (None, or {'functional': 'pbe', 'damping': 'bj'|'zero', ...}) --
+    # product wiring of ops/d3.py; the reference couples its CUDA D3
+    # pair style the same way (sevenn/pair_e3gnn/pair_d3.cu:2030-2056)
+    K.DISPERSION: None,
 }
 
 MODEL_CONFIG_CONDITION: Dict[str, Any] = {
+    K.DISPERSION: lambda v: v is None or isinstance(v, dict),
     K.NODE_FEATURE_MULTIPLICITY: int,
     K.LMAX: int,
     K.LMAX_EDGE: int,

@@ -78,6 +78,9 @@ POLY_CUT_P: Final[str] = 'poly_cut_p_value'
 CUTOFF_ON: Final[str] = 'cutoff_on'
 ACTIVATION_RADIAL: Final[str] = 'act_radial'
 CUTOFF: Final[str] = 'cutoff'
+# D3 dispersion config (model section): None or
+# {'functional': 'pbe', 'damping': 'bj' | 'zero', ...d3_spec kwargs}
+DISPERSION: Final[str] = 'dispersion'
 CONVOLUTION_WEIGHT_NN_HIDDEN_NEURONS: Final[str] = 'weight_nn_hidden_neurons'
 NUM_CONVOLUTION: Final[str] = 'num_convolution_layer'
 CONV_DENOMINATOR: Final[str] = 'conv_denominator'

@@ -121,8 +121,14 @@ def cmd_preset(args):
 def cmd_inference(args):
     from .scripts.inference import inference_main
 
+    dispersion = None
+    if getattr(args, 'd3', None):
+        parts = [p.strip() for p in args.d3.split(',')]
+        dispersion = {'functional': parts[0]}
+        if len(parts) > 1:
+            dispersion['damping'] = parts[1]
     inference_main(args.checkpoint, args.data, output_dir=args.output,
-                   batch_size=args.batch)
+                   batch_size=args.batch, dispersion=dispersion)
 
 
 def cmd_graph_build(args):
@@ -176,6 +182,10 @@ def main(argv=None):
     inf.add_argument('data', nargs='+')
     inf.add_argument('-o', '--output', default='sevenn_infer_result')
     inf.add_argument('-b', '--batch', type=int, default=5)
+    inf.add_argument('--d3', default=None, metavar='FUNC,DAMP',
+                    help="add Grimme D3 dispersion, e.g. 'pbe,bj' or "
+                         "'pbe,zero' (overrides the checkpoint "
+                         "config's 'dispersion' key)")
     inf.set_defaults(func=cmd_inference)
 
     g = sub.add_parser('graph_build', help='prebuild graphs from data')

@@ -177,6 +177,8 @@ class VelocityVerlet:
         if not hasattr(self, '_seg_cache'):
             self._seg_cache = {}
             self._cap_edge = 0
+            self._cap_d3 = 0
+        d3 = getattr(self.calc, 'd3', None)
 
         def build_batch():
             g = structure_to_graph(self.s, spec.cutoff + skin, tm)
@@ -196,13 +198,39 @@ class VelocityVerlet:
                 self._cap_edge = need + (512 if self._cap_edge else 0)
             b = collate([g], n_node=bucket_capacity(n, margin=1.0),
                         n_edge=self._cap_edge, n_graph=1)
-            return {k: jnp.asarray(v) for k, v in b.items()
-                    if k not in (K.INFO, K.USER_LABEL)}
+            out = {k: jnp.asarray(v) for k, v in b.items()
+                   if k not in (K.INFO, K.USER_LABEL)}
+            if d3 is not None:
+                # D3's own (much longer) neighbor list, same skin
+                # validity window as the GNN edges
+                from .data.neighborlist import neighbor_list
 
-        def make_segment(n_node, n_edge, n_seg):
+                i3, j3, s3, _ = neighbor_list(
+                    self.s.pos, self.s.cell, self.s.pbc,
+                    d3['cutoff_ang'] + skin,
+                )
+                self._cap_d3 = max(
+                    self._cap_d3,
+                    bucket_capacity(int(len(i3) * 1.15), quantum=4096))
+                cap = self._cap_d3
+                nn = out[K.POS].shape[0]
+                idx3 = np.zeros((2, cap), np.int32)
+                shift3 = np.zeros((cap, 3), np.float32)
+                mask3 = np.zeros(cap, np.float32)
+                idx3[0, :len(i3)] = i3
+                idx3[1, :len(i3)] = j3
+                shift3[:len(i3)] = s3
+                mask3[:len(i3)] = 1.0
+                out['d3_edge_idx'] = jnp.asarray(idx3)
+                out['d3_shift'] = jnp.asarray(shift3)
+                out['d3_mask'] = jnp.asarray(mask3)
+            return out
+
+        def make_segment(n_node, n_edge, n_seg, n_d3):
             from .model.nequip import apply_model
+            from .ops.d3 import d3_energy
 
-            key = (n_node, n_edge, n_seg)
+            key = (n_node, n_edge, n_seg, n_d3)
             if key in self._seg_cache:
                 return self._seg_cache[key]
 
@@ -215,8 +243,23 @@ class VelocityVerlet:
                     b = dict(batch)
                     b[K.POS] = pos
                     out = apply_model(spec, params, b)
-                    return (out[K.PRED_FORCE] * mask,
-                            out[K.PRED_TOTAL_ENERGY][0])
+                    f = out[K.PRED_FORCE] * mask
+                    e = out[K.PRED_TOTAL_ENERGY][0]
+                    if d3 is not None:
+                        def e3fn(p):
+                            return d3_energy(
+                                d3['spec'], d3['arrays'], p,
+                                batch[K.ATOM_TYPE],
+                                batch['d3_edge_idx'],
+                                batch['d3_shift'],
+                                batch[K.CELL][0],
+                                batch['d3_mask'],
+                                batch[K.NODE_MASK],
+                            )
+                        e3, g3 = jax.value_and_grad(e3fn)(pos)
+                        e = e + e3
+                        f = f - g3 * mask
+                    return f, e
 
                 # initial forces computed IN this executable: a separate
                 # jit would cost a ~1.7 s program reload per segment on
@@ -288,8 +331,10 @@ class VelocityVerlet:
         # XLA compile, which costs minutes on tunneled runtimes.
         remaining = n_steps
         while remaining > 0:
-            seg = make_segment(n_node, batch[K.EDGE_IDX].shape[1],
-                               seg_steps)
+            seg = make_segment(
+                n_node, batch[K.EDGE_IDX].shape[1], seg_steps,
+                batch['d3_edge_idx'].shape[1] if d3 is not None else 0,
+            )
             vel_j, packed = seg(
                 params, batch, vel_j, masses_j,
                 jnp.asarray(min(seg_steps, remaining), jnp.int32),

@@ -127,7 +127,13 @@ def d3_static_arrays(spec: D3Spec):
     n = len(zs)
     rcov = t['rcov'][zs - 1]
     r2r4 = t['r2r4'][zs - 1]
-    r0ab = t['r0ab'][np.ix_(zs - 1, zs - 1)]
+    # the R0AB table is in ANGSTROM; every distance in the energy is in
+    # Bohr, so convert at load exactly like the reference
+    # (pair_d3.cu:359: r0ab_table[...] / AU_TO_ANG).  Without this the
+    # zero-damping radii are ~1.9x too small and the short range is
+    # grossly under-damped (caught by tests/test_d3_golden.py -- BJ
+    # damping does not use r0ab and was unaffected).
+    r0ab = t['r0ab'][np.ix_(zs - 1, zs - 1)] / AU_TO_ANG
 
     # c6ab reference grids per species pair
     c6ref = np.full((n, n, MAXC, MAXC), -1.0)
@@ -202,7 +208,10 @@ def d3_energy_from_vec(
     i, j = edge_idx[0], edge_idx[1]
     vec = vec_bohr
     r2 = jnp.sum(vec * vec, axis=-1)
-    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    # clamp at 0.5 Bohr (0.26 A): no physical pair is closer, and the
+    # padded zero-vector edges of static MD batches would otherwise
+    # overflow c6/r^6 to inf -- inf * 0 mask = NaN in the sum
+    r = jnp.sqrt(jnp.maximum(r2, 0.25))
 
     ti, tj = types[i], types[j]
 
@@ -223,7 +232,19 @@ def d3_energy_from_vec(
         (cn[i][:, None, None] - cn1ref) ** 2
         + (cn[j][:, None, None] - cn2ref) ** 2
     )
-    L = jnp.where(valid, jnp.exp(K3 * dcn), 0.0)
+    # shift-by-min before exponentiating: the Gaussian weights underflow
+    # when the actual CN sits far from every reference (e.g. Hf in HfO2,
+    # CN ~13 vs reference CNs <= 3.9) and the naive ratio collapses to
+    # c6 = 0 -- no dispersion at all between such pairs.  The shifted
+    # form is algebraically identical where the naive one is finite
+    # (the common factor cancels in Z/W, including in the gradient) and
+    # limits smoothly to the CLOSEST reference's C6 exactly where the
+    # reference CUDA branches to its c6mem fallback (reference:
+    # sevenn/pair_e3gnn/pair_d3.cu:827-884).  Caught by the independent
+    # oracle in tests/test_d3_golden.py.
+    dcn_min = jnp.min(jnp.where(valid, dcn, jnp.inf), axis=(1, 2),
+                      keepdims=True)
+    L = jnp.where(valid, jnp.exp(K3 * (dcn - dcn_min)), 0.0)
     Z = jnp.sum(L * jnp.where(valid, c6ref, 0.0), axis=(1, 2))
     W = jnp.sum(L, axis=(1, 2))
     c6 = Z / jnp.maximum(W, 1e-30)

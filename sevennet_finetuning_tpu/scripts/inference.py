@@ -35,7 +35,11 @@ def inference_main(
     data_paths: Sequence[str],
     output_dir: str = 'sevenn_infer_result',
     batch_size: int = 5,
+    dispersion=None,
 ):
+    """``dispersion``: None (use the checkpoint config's 'dispersion'
+    key if set) or a dict like {'functional': 'pbe', 'damping': 'bj'} --
+    adds Grimme D3 to every predicted energy/force/stress."""
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +47,14 @@ def inference_main(
     spec, params, config = model_from_checkpoint(checkpoint)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     tm = dict(spec.type_map)
+
+    if dispersion is None:
+        dispersion = (config or {}).get(K.DISPERSION)
+    d3_calc = None
+    if dispersion:
+        from ..calculator import Calculator
+
+        d3_calc = Calculator(spec, params, d3=dict(dispersion))
 
     structures = _load_inputs(data_paths)
     ds = GraphDataset.from_structures(structures, spec.cutoff, tm)
@@ -61,9 +73,18 @@ def inference_main(
              if k not in (K.INFO, K.USER_LABEL)}
         out = fwd(b)
         n_graphs = int(np.sum(np.asarray(batch[K.NUM_ATOMS]) > 0))
-        pe = np.asarray(out[K.PRED_TOTAL_ENERGY])
-        pf = np.asarray(out[K.PRED_FORCE])
-        ps = np.asarray(out[K.PRED_STRESS])
+        pe = np.array(out[K.PRED_TOTAL_ENERGY])
+        pf = np.array(out[K.PRED_FORCE])
+        ps = np.array(out[K.PRED_STRESS])
+        if d3_calc is not None:
+            na_ = np.asarray(batch[K.NUM_ATOMS])
+            off = 0
+            for bi in range(n_graphs):
+                e3, f3, s3 = d3_calc.d3_terms(structures[gidx + bi])
+                pe[bi] += e3
+                pf[off:off + int(na_[bi])] += f3
+                ps[bi] += s3
+                off += int(na_[bi])
         na = np.asarray(batch[K.NUM_ATOMS])
         ref_e = np.asarray(batch[K.ENERGY])
         ref_f = np.asarray(batch[K.FORCE])
