@@ -537,6 +537,7 @@ def run_blocks(
     remat: bool = False,
     edges_sorted: bool = False,
     src_perm=None,
+    halo_split=None,
 ) -> jnp.ndarray:
     """All interaction blocks (NequIP or MACE).  ``exchange_fn``, when
     given, maps local features to local+ghost rows before the gather
@@ -550,7 +551,13 @@ def run_blocks(
     ``remat=True`` checkpoints each block: the training double-backprop
     otherwise keeps per-edge message tensors of every layer live, which
     does not fit HBM at large batch (recompute costs ~30% step time,
-    cuts activation memory by ~L x)."""
+    cuts activation memory by ~L x).
+
+    ``halo_split`` (halo-parallel path): {'loc': {...}, 'gh': {...}}
+    edge partitions by source locality; the convolution computes
+    local-source messages WITHOUT the exchange and ghost-source messages
+    from it, so XLA overlaps the per-layer ppermutes with the local
+    message math (comm/compute overlap)."""
     if cap is None:
         def cap(name, val):
             return None
@@ -562,6 +569,7 @@ def run_blocks(
         return _run_one_block(
             spec, blk, params, x, onehot, emb, edge_attr, edge_src,
             edge_dst, n_node, cap, exchange_fn, edges_sorted, src_perm,
+            halo_split,
         )
 
     for blk in spec.blocks:
@@ -576,7 +584,7 @@ def run_blocks(
 
 def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
                    edge_src, edge_dst, n_node, cap, exchange_fn,
-                   edges_sorted=False, src_perm=None):
+                   edges_sorted=False, src_perm=None, halo_split=None):
     t = blk.t
     if blk.block_type == 'custom':
         ctx = dict(onehot=onehot, emb=emb, edge_attr=edge_attr,
@@ -618,12 +626,28 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
     if blk.conv_kind == 'gaunt':
         from ..ops.gaunt import apply_gaunt_conv
 
-        x = apply_gaunt_conv(
-            blk.gaunt_conv,
-            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-            x_all, edge_attr, emb, edge_src, edge_dst, n_node,
-            conv_p['denominator'], sorted_dst=edges_sorted,
-        )
+        if halo_split is not None:
+            agg = None
+            for part in ('loc', 'gh'):
+                ps_ = halo_split[part]
+                x_in = x if part == 'loc' else exchange_fn(x)
+                a = apply_gaunt_conv(
+                    blk.gaunt_conv,
+                    [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+                    x_in, ps_['sh'], ps_['emb'], ps_['src'],
+                    ps_['dst'], n_node, jnp.ones_like(
+                        conv_p['denominator']),
+                    sorted_dst=True,
+                )
+                agg = a if agg is None else agg + a
+            x = agg / conv_p['denominator']
+        else:
+            x = apply_gaunt_conv(
+                blk.gaunt_conv,
+                [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
+                x_all, edge_attr, emb, edge_src, edge_dst, n_node,
+                conv_p['denominator'], sorted_dst=edges_sorted,
+            )
     elif fused:
         # fused edge-tile CG convolution (ops/fused_conv.py): the whole
         # radial-MLP -> grouped-CG -> weight chain runs feature-major
@@ -637,33 +661,63 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
         )
 
         layout = layout_from_spec(blk.conv_tp)
-        w_edge_T = mlp_apply_T(
-            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-            emb.T, blk.act_radial,
-        )
-        # gather_rows' transpose DROPS padded-edge cotangents; exact
-        # here because EDGE_MASK zeroes the radial embedding, so padded
-        # messages and their gradients are identically zero
-        x_src = gather_rows(x_all, edge_src,
-                            src_perm if exchange_fn is None else None)
-        msg_T = conv_messages_T(layout, x_src.T, edge_attr.T, w_edge_T)
-        x = aggregate_messages(msg_T.T, edge_dst, n_node, edges_sorted)
-        x = x / conv_p['denominator']
+        mlp_w = [conv_p[f'weight_nn_w{i}'] for i in range(n_w)]
+        if halo_split is not None:
+            # local-source messages first (no dependence on the
+            # exchange), then ghost-source messages from the refreshed
+            # buffer: XLA overlaps the ppermutes with the local math
+            agg = None
+            for part in ('loc', 'gh'):
+                ps_ = halo_split[part]
+                x_in = x if part == 'loc' else exchange_fn(x)
+                w_T = mlp_apply_T(mlp_w, ps_['emb'].T, blk.act_radial)
+                x_src = gather_rows(x_in, ps_['src'], ps_['perm'])
+                msg_T = conv_messages_T(layout, x_src.T, ps_['sh'].T,
+                                        w_T)
+                a = aggregate_messages(msg_T.T, ps_['dst'], n_node,
+                                       True)
+                agg = a if agg is None else agg + a
+            x = agg / conv_p['denominator']
+        else:
+            w_edge_T = mlp_apply_T(mlp_w, emb.T, blk.act_radial)
+            # gather_rows' transpose DROPS padded-edge cotangents; exact
+            # here because EDGE_MASK zeroes the radial embedding, so
+            # padded messages and their gradients are identically zero
+            x_src = gather_rows(x_all, edge_src,
+                                src_perm if exchange_fn is None
+                                else None)
+            msg_T = conv_messages_T(layout, x_src.T, edge_attr.T,
+                                    w_edge_T)
+            x = aggregate_messages(msg_T.T, edge_dst, n_node,
+                                   edges_sorted)
+            x = x / conv_p['denominator']
         # back to the e3nn flat layout at the (cheap) node-sized boundary
         x = stride_to_e3nn(blk.conv_tp.irreps_out, x)
     else:
-        w_edge = mlp_apply(
-            [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
-            emb, blk.act_radial,
-        )
-        # gather_rows' transpose DROPS padded-edge cotangents; that is
-        # exact here because EDGE_MASK zeroes the radial embedding, so
-        # padded messages and their gradients are identically zero
-        x_src = gather_rows(x_all, edge_src,
-                            src_perm if exchange_fn is None else None)
-        msg = apply_tp(blk.conv_tp, x_src, edge_attr, w_edge)
-        x = aggregate_messages(msg, edge_dst, n_node, edges_sorted)
-        x = x / conv_p['denominator']
+        mlp_w = [conv_p[f'weight_nn_w{i}'] for i in range(n_w)]
+        if halo_split is not None:
+            agg = None
+            for part in ('loc', 'gh'):
+                ps_ = halo_split[part]
+                x_in = x if part == 'loc' else exchange_fn(x)
+                w_e = mlp_apply(mlp_w, ps_['emb'], blk.act_radial)
+                x_src = gather_rows(x_in, ps_['src'], ps_['perm'])
+                msg = apply_tp(blk.conv_tp, x_src, ps_['sh'], w_e)
+                a = aggregate_messages(msg, ps_['dst'], n_node, True)
+                agg = a if agg is None else agg + a
+            x = agg / conv_p['denominator']
+        else:
+            w_edge = mlp_apply(mlp_w, emb, blk.act_radial)
+            # gather_rows' transpose DROPS padded-edge cotangents; that
+            # is exact here because EDGE_MASK zeroes the radial
+            # embedding, so padded messages and their gradients are
+            # identically zero
+            x_src = gather_rows(x_all, edge_src,
+                                src_perm if exchange_fn is None
+                                else None)
+            msg = apply_tp(blk.conv_tp, x_src, edge_attr, w_edge)
+            x = aggregate_messages(msg, edge_dst, n_node, edges_sorted)
+            x = x / conv_p['denominator']
     cap(f'{t}_convolution', x)
 
     x = apply_linear(blk.si2,

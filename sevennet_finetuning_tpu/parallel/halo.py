@@ -82,9 +82,18 @@ class HaloPlan:
     edge_shift: np.ndarray    # [D, n_edge, 3]        in exchange buffer
     edge_mask: np.ndarray     # [D, n_edge]
     edge_src_perm: np.ndarray  # [D, n_edge]: argsort of src per device
-    cell: np.ndarray          # [3, 3]
-    volume: float
-    n_atoms: int
+    # comm/compute-overlap partition: edges whose SOURCE is local vs in
+    # the ghost blocks.  Local-source messages depend only on this
+    # device's features, so XLA schedules them CONCURRENTLY with the
+    # per-layer ghost ppermutes (SURVEY 2.3: halo exchange "overlapped
+    # with local aggregation"); ghost-source messages consume the
+    # exchange.  Each set is dst-sorted with sentinel padding + its own
+    # src-sort permutation (kernel contract).
+    edge_loc: Dict[str, np.ndarray] = None   # idx [D,2,El], shift, mask, perm
+    edge_gh: Dict[str, np.ndarray] = None
+    cell: np.ndarray = None   # [3, 3]
+    volume: float = 0.0
+    n_atoms: int = 0
 
     @property
     def buffer_rows(self) -> int:
@@ -339,6 +348,28 @@ def build_halo_plan(
             edge_mask[d, k] = 1.0
         edge_src_perm[d] = np.argsort(edge_idx[d, 1], kind='stable')
 
+    def build_set(selector, src_sentinel):
+        sets = [[e for e in per_dev[d] if selector(e[1])]
+                for d in range(n_dev)]
+        cap = qpad(max((len(es) for es in sets), default=1))
+        idx = np.zeros((n_dev, 2, cap), np.int32)
+        idx[:, 0, :] = n_local
+        idx[:, 1, :] = src_sentinel
+        shf = np.zeros((n_dev, cap, 3), np.float32)
+        msk = np.zeros((n_dev, cap), np.float32)
+        prm = np.zeros((n_dev, cap), np.int32)
+        for d, es in enumerate(sets):
+            es.sort(key=lambda e: e[0])
+            for k, (la, sb, sh) in enumerate(es):
+                idx[d, :, k] = (la, sb)
+                shf[d, k] = sh
+                msk[d, k] = 1.0
+            prm[d] = np.argsort(idx[d, 1], kind='stable')
+        return dict(idx=idx, shift=shf, mask=msk, perm=prm)
+
+    edge_loc = build_set(lambda sb: sb < n_local, n_local)
+    edge_gh = build_set(lambda sb: sb >= n_local, buffer_rows)
+
     atom_type = np.zeros((n_dev, n_local), np.int32)
     node_mask = np.zeros((n_dev, n_local), np.float32)
     owner_perm = np.full((n_dev, n_local), -1, np.int64)
@@ -353,6 +384,7 @@ def build_halo_plan(
         atom_type=atom_type, node_mask=node_mask, owner_perm=owner_perm,
         edge_idx=edge_idx, edge_shift=edge_shift, edge_mask=edge_mask,
         edge_src_perm=edge_src_perm,
+        edge_loc=edge_loc, edge_gh=edge_gh,
         cell=cell.astype(np.float32), volume=float(s.volume), n_atoms=n,
     )
 
@@ -399,11 +431,8 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
     cellT = jnp.asarray(plan.cell)
     eye3 = jnp.eye(3, dtype=jnp.float32)
 
-    def network_energy(params, edge_vec, atom_type, node_mask, dst, src,
-                       edge_mask, src_perm, exchange):
-        """Edge vectors -> psum'd total energy (per-layer halo inside)."""
-        from ..model.nequip import readout_and_rescale, run_blocks
-
+    def _embed_edges(params, edge_vec, edge_mask):
+        """edge vectors -> (radial embedding, spherical harmonics)."""
         r = safe_norm(edge_vec)
         basis = bessel_basis(
             r, params['edge_embedding']['bessel_coeffs'], es.cutoff
@@ -416,44 +445,72 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
         if es.weight_shift != 0.0 or es.weight_scale != 1.0:
             emb = (emb - es.weight_shift) * es.weight_scale
         emb = emb * edge_mask[..., None]
-        edge_attr = sh_fn(edge_vec)
+        return emb, sh_fn(edge_vec)
+
+    def network_energy(params, ev_loc, ev_gh, atom_type, node_mask,
+                       loc, gh, exchange):
+        """Split edge vectors -> psum'd total energy.
+
+        ``loc``/``gh`` carry (dst, src, mask, perm) of the two edge
+        partitions; local-source messages depend only on this device's
+        features, so the per-layer ghost ppermutes schedule CONCURRENTLY
+        with them (comm/compute overlap -- the block issues the exchange
+        next to the local-edge convolution with no data dependence
+        between them)."""
+        from ..model.nequip import readout_and_rescale, run_blocks
+
+        emb_l, sh_l = _embed_edges(params, ev_loc, loc['mask'])
+        emb_g, sh_g = _embed_edges(params, ev_gh, gh['mask'])
         onehot = jax.nn.one_hot(atom_type, spec.num_species,
-                                dtype=edge_vec.dtype)
+                                dtype=ev_loc.dtype)
         x = apply_linear(embed_spec,
                          _linear_w(params['onehot_to_feature_x']), onehot)
-        # dst is sorted with sentinel padding and src_perm sorts the
-        # buffer-slot source index (plan contract above): both the
-        # message aggregation and the source-gather transpose ride the
-        # sorted-segment-sum kernel, same as the single-chip path
-        x = run_blocks(spec, params, x, onehot, emb, edge_attr, src, dst,
+        # each partition is dst-sorted with sentinel padding and ships a
+        # src-sort permutation: aggregation and the gather transposes
+        # ride the sorted-segment-sum kernel, same as the single-chip
+        # path
+        halo_split = {
+            'loc': dict(src=loc['src'], dst=loc['dst'], emb=emb_l,
+                        sh=sh_l, perm=loc['perm']),
+            'gh': dict(src=gh['src'], dst=gh['dst'], emb=emb_g,
+                       sh=sh_g, perm=gh['perm']),
+        }
+        x = run_blocks(spec, params, x, onehot, emb_l, sh_l,
+                       loc['src'], loc['dst'],
                        plan.n_local, exchange_fn=exchange,
-                       edges_sorted=True, src_perm=src_perm)
+                       edges_sorted=True, src_perm=loc['perm'],
+                       halo_split=halo_split)
         _, atomic_e = readout_and_rescale(spec, params, x, atom_type)
         return lax.psum(jnp.sum(atomic_e * node_mask), SP_AXIS)
 
-    def shard_fn(params, pos, atom_type, node_mask, edge_idx, edge_shift,
-                 edge_mask, edge_src_perm, *stage_flat):
+    def shard_fn(params, pos, atom_type, node_mask,
+                 li, lsh, lm, lp, gi, gsh, gm, gp, *stage_flat):
         pos, atom_type, node_mask = pos[0], atom_type[0], node_mask[0]
-        edge_idx, edge_shift, edge_mask, edge_src_perm = (
-            edge_idx[0], edge_shift[0], edge_mask[0], edge_src_perm[0]
-        )
+        li, lsh, lm, lp = li[0], lsh[0], lm[0], lp[0]
+        gi, gsh, gm, gp = gi[0], gsh[0], gm[0], gp[0]
         stage_arrays = [
             tuple(a[0] for a in stage_flat[i:i + 4])
             for i in range(0, len(stage_flat), 4)
         ]
-        dst, src = edge_idx[0], edge_idx[1]
+        loc = dict(dst=li[0], src=li[1], mask=lm, perm=lp)
+        gh = dict(dst=gi[0], src=gi[1], mask=gm, perm=gp)
         exchange = _make_exchange(plan, stage_arrays)
 
         def energy_of(pos_loc, eps):
             pos_all = exchange(pos_loc)
-            ev = (
-                pos_all[src] - pos_loc[dst]
-                + jnp.einsum('ei,ij->ej', edge_shift, cellT)
-            )
+            shift_l = jnp.einsum('ei,ij->ej', lsh, cellT)
+            shift_g = jnp.einsum('ei,ij->ej', gsh, cellT)
+            nl = pos_loc.shape[0]
+            ev_loc = (pos_loc[jnp.minimum(loc['src'], nl - 1)]
+                      - pos_loc[jnp.minimum(loc['dst'], nl - 1)]
+                      + shift_l)
+            ev_gh = pos_all[gh['src']] \
+                - pos_loc[jnp.minimum(gh['dst'], nl - 1)] + shift_g
             # strain perturbation: dE/deps = sum_e ev (x) f_e = virial
-            ev = ev @ (eye3 + eps)
-            return network_energy(params, ev, atom_type, node_mask, dst,
-                                  src, edge_mask, edge_src_perm, exchange)
+            ev_loc = ev_loc @ (eye3 + eps)
+            ev_gh = ev_gh @ (eye3 + eps)
+            return network_energy(params, ev_loc, ev_gh, atom_type,
+                                  node_mask, loc, gh, exchange)
 
         eps0 = jnp.zeros((3, 3), pos.dtype)
         energy, (dpos, deps) = jax.value_and_grad(
@@ -480,14 +537,20 @@ def make_halo_forward(spec: ModelSpec, params: Params, plan: HaloPlan,
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(),) + (sharded,) * (7 + n_stage_args),
+        in_specs=(P(),) + (sharded,) * (11 + n_stage_args),
         out_specs=(P(SP_AXIS), P(SP_AXIS), P(SP_AXIS)),
     )
 
     statics = [
         jnp.asarray(plan.atom_type), jnp.asarray(plan.node_mask),
-        jnp.asarray(plan.edge_idx), jnp.asarray(plan.edge_shift),
-        jnp.asarray(plan.edge_mask), jnp.asarray(plan.edge_src_perm),
+        jnp.asarray(plan.edge_loc['idx']),
+        jnp.asarray(plan.edge_loc['shift']),
+        jnp.asarray(plan.edge_loc['mask']),
+        jnp.asarray(plan.edge_loc['perm']),
+        jnp.asarray(plan.edge_gh['idx']),
+        jnp.asarray(plan.edge_gh['shift']),
+        jnp.asarray(plan.edge_gh['mask']),
+        jnp.asarray(plan.edge_gh['perm']),
     ]
     for st in plan.stages:
         statics += [

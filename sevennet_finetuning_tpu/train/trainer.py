@@ -281,13 +281,25 @@ class Trainer:
 
     @staticmethod
     def _scan_chunk() -> int:
-        """Max batches per scanned-epoch dispatch.  Large single scans
-        (~90 two-step rehearsal iterations) reliably fault the tunneled
-        TPU worker; chunking bounds the per-executable scan length at a
-        negligible dispatch cost.  Override: SEVENN_EPOCH_SCAN_CHUNK."""
+        """Max batches per scanned-epoch dispatch.
+
+        The cap is a TUNNELED-RUNTIME workaround, active only on the
+        'axon' platform: large single scans (~90 two-step rehearsal
+        iterations) reliably fault that tunnel's TPU worker, so the
+        per-executable scan length is bounded there at negligible
+        dispatch cost (PROFILE.md).  Standard PJRT runtimes (direct TPU,
+        CPU, GPU) get the unchunked large-scan path automatically.
+        Override either way with SEVENN_EPOCH_SCAN_CHUNK."""
         import os
 
-        return max(1, int(os.environ.get('SEVENN_EPOCH_SCAN_CHUNK', '48')))
+        env = os.environ.get('SEVENN_EPOCH_SCAN_CHUNK')
+        if env is not None:
+            return max(1, int(env))
+        # the axon PJRT plugin masquerades as 'tpu' in jax; its presence
+        # shows in JAX_PLATFORMS (set by that environment's tooling)
+        if 'axon' in os.environ.get('JAX_PLATFORMS', ''):
+            return 48
+        return 10 ** 9
 
     def _stacked_for(self, loader):
         """[n_batches, ...] device pytree of a cache=True loader's

@@ -231,3 +231,40 @@ def test_md_langevin_thermostat_controls_temperature():
     md2 = VelocityVerlet(s, calc, dt_fs=2.0)
     md2.run(20)
     assert np.mean(md2.result.temperatures[-5:]) < 0.2 * T_target
+
+
+def test_halo_plan_overlap_partition():
+    """The comm/compute-overlap partition (edge_loc/edge_gh) is exact:
+    local-source + ghost-source edges reproduce the combined per-device
+    edge list, each dst-sorted with valid src-sort permutations."""
+    s = _structure()
+    tm = {8: 0, 14: 1}
+    spec, _ = _model(tm)
+    plan = build_halo_plan(s, spec.cutoff, tm, 2)
+    for d in range(plan.n_dev):
+        combined = set()
+        n_comb = int(plan.edge_mask[d].sum())
+        for k in range(n_comb):
+            combined.add((int(plan.edge_idx[d, 0, k]),
+                          int(plan.edge_idx[d, 1, k]),
+                          tuple(plan.edge_shift[d, k].tolist())))
+        split = set()
+        for part, sentinel in ((plan.edge_loc, plan.n_local),
+                               (plan.edge_gh, plan.buffer_rows)):
+            n_p = int(part['mask'][d].sum())
+            dsts = part['idx'][d, 0, :n_p]
+            assert np.all(np.diff(dsts) >= 0), 'dst must stay sorted'
+            assert np.all(part['idx'][d, 0, n_p:] == plan.n_local)
+            assert np.all(part['idx'][d, 1, n_p:] == sentinel)
+            srcs_sorted = part['idx'][d, 1][part['perm'][d]]
+            assert np.all(np.diff(srcs_sorted) >= 0), 'src perm invalid'
+            for k in range(n_p):
+                split.add((int(part['idx'][d, 0, k]),
+                           int(part['idx'][d, 1, k]),
+                           tuple(part['shift'][d, k].tolist())))
+        # sources: loc strictly local, gh strictly ghost
+        n_l = int(plan.edge_loc['mask'][d].sum())
+        assert np.all(plan.edge_loc['idx'][d, 1, :n_l] < plan.n_local)
+        n_g = int(plan.edge_gh['mask'][d].sum())
+        assert np.all(plan.edge_gh['idx'][d, 1, :n_g] >= plan.n_local)
+        assert split == combined
