@@ -659,6 +659,7 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
             layout_from_spec,
             stride_to_e3nn,
         )
+        from ..ops.fused_conv_agg import conv_aggregate
 
         layout = layout_from_spec(blk.conv_tp)
         mlp_w = [conv_p[f'weight_nn_w{i}'] for i in range(n_w)]
@@ -670,19 +671,28 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
             for part in ('loc', 'gh'):
                 ps_ = halo_split[part]
                 x_in = x if part == 'loc' else exchange_fn(x)
-                w_T = mlp_apply_T(mlp_w, ps_['emb'].T, blk.act_radial)
+                w_e = mlp_apply(mlp_w, ps_['emb'], blk.act_radial)
                 x_src = gather_rows(x_in, ps_['src'], ps_['perm'])
-                msg_T = conv_messages_T(layout, x_src.T, ps_['sh'].T,
-                                        w_T)
-                a = aggregate_messages(msg_T.T, ps_['dst'], n_node,
-                                       True)
+                a = conv_aggregate(layout, x_src, ps_['sh'], w_e,
+                                   ps_['dst'], n_node)
                 agg = a if agg is None else agg + a
             x = agg / conv_p['denominator']
-        else:
-            w_edge_T = mlp_apply_T(mlp_w, emb.T, blk.act_radial)
+        elif edges_sorted:
+            # scatter-fused convolution: the [E, dim_msg] message
+            # tensor never exists in HBM (ops/fused_conv_agg)
+            w_edge = mlp_apply(mlp_w, emb, blk.act_radial)
             # gather_rows' transpose DROPS padded-edge cotangents; exact
             # here because EDGE_MASK zeroes the radial embedding, so
             # padded messages and their gradients are identically zero
+            x_src = gather_rows(x_all, edge_src,
+                                src_perm if exchange_fn is None
+                                else None)
+            x = conv_aggregate(layout, x_src, edge_attr, w_edge,
+                               edge_dst, n_node)
+            x = x / conv_p['denominator']
+        else:
+            # unsorted-dst fallback: per-edge kernel + XLA scatter-add
+            w_edge_T = mlp_apply_T(mlp_w, emb.T, blk.act_radial)
             x_src = gather_rows(x_all, edge_src,
                                 src_perm if exchange_fn is None
                                 else None)

@@ -176,10 +176,21 @@ def _kernel(TN: int, TE: int, precision,
         oh = (row_ids == dst_buf[slot])
         m = msg_buf[slot]
         if precision == 'highest':
-            out_ref[:] += jax.lax.dot(
-                oh.astype(m.dtype), m,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # exact 3-way bf16 split: the one-hot is exact in bf16 and
+            # 3 x 8 mantissa bits reproduce the full f32 mantissa, so
+            # three single-pass dots equal the six-pass HIGHEST
+            # emulation at half the MXU cost
+            ohb = oh.astype(jnp.bfloat16)
+            m_hi = m.astype(jnp.bfloat16)
+            r1 = m - m_hi.astype(jnp.float32)
+            m_mid = r1.astype(jnp.bfloat16)
+            m_lo = (r1 - m_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[:] += (
+                jax.lax.dot(ohb, m_hi, preferred_element_type=jnp.float32)
+                + jax.lax.dot(ohb, m_mid,
+                              preferred_element_type=jnp.float32)
+                + jax.lax.dot(ohb, m_lo,
+                              preferred_element_type=jnp.float32)
             ).astype(out_ref.dtype)
         elif precision == 'bf16':
             out_ref[:] += jax.lax.dot(
