@@ -97,7 +97,7 @@ def main():
 
     bench_path = os.path.join(os.path.dirname(__file__), '..',
                               'BENCH_r03.json')
-    step_ms = 71.2   # round-4 fused step at 19.4k edges (bench.py)
+    step_ms = 56.9   # round-4 fused step at 19.4k edges (bench.py)
     results['assumptions']['single_chip_step_ms'] = step_ms
 
     import jax.numpy as jnp
