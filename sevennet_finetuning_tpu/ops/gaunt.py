@@ -164,6 +164,48 @@ def to_spherical(grid: jnp.ndarray, L: int, L_max: int) -> jnp.ndarray:
     ).real
 
 
+def _real_samples(grid: jnp.ndarray, Lg: int, L: int) -> jnp.ndarray:
+    """Centered coefficient grid [..., 2Lg+1, 2Lg+1] of a REAL spherical
+    function -> its REAL sample grid [..., M, M], M = 2L+1.
+
+    The coefficients are reversal-Hermitian (F[i, j] =
+    conj(F[2Lg-i, 2Lg-j])), so after zero-padding to M and rolling the
+    zero frequency to index 0 the grid is wrapped-Hermitian and its DFT
+    is real: samples = M^2 * irfft2(conj(wrapped)[..., :L+1]) -- one
+    real FFT instead of a complex one.  (The reference's
+    HermitianGauntConvolution plays the same trick with a hand-written
+    rfft backward, reference: sevenn/nn/gaunt_util.py:279-313,
+    convolution.py:261-403; here AD differentiates the rFFTs directly.)
+    """
+    M = 2 * L + 1
+    n = grid.shape[-1]
+    pad = [(0, 0)] * (grid.ndim - 2) + [(0, M - n), (0, M - n)]
+    wrapped = jnp.roll(jnp.pad(grid, pad), (-Lg, -Lg), axis=(-2, -1))
+    half = jnp.conj(wrapped)[..., :, :L + 1]
+    return (M * M) * jnp.fft.irfft2(half, s=(M, M))
+
+
+def _coeffs_from_real_samples(S: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Real product samples [..., M, M] -> centered convolution
+    coefficient grid [..., M, M] (complex), via one rfft2 + Hermitian
+    reconstruction of the missing half."""
+    M = 2 * L + 1
+    F = jnp.fft.rfft2(S)                       # [..., M, L+1]
+    left = jnp.conj(F) / (M * M)
+    rows_rev = jnp.roll(jnp.flip(F, axis=-2), 1, axis=-2)
+    right = rows_rev[..., :, 1:L + 1][..., :, ::-1] / (M * M)
+    G = jnp.concatenate([left, right], axis=-1)
+    return jnp.roll(G, (L, L), axis=(-2, -1))
+
+
+def use_rfft() -> bool:
+    """Hermitian (real-FFT) Gaunt convolution path; SEVENN_GAUNT_RFFT=0
+    selects the complex-FFT formulation (correctness oracle)."""
+    import os
+
+    return os.environ.get('SEVENN_GAUNT_RFFT', '1') != '0'
+
+
 def gaunt_product_grids(a: jnp.ndarray, b: jnp.ndarray, La: int, Lb: int
                         ) -> jnp.ndarray:
     """2D convolution of coefficient grids via FFT: inputs
@@ -263,9 +305,15 @@ def apply_gaunt_conv(
     n_node: int,
     denominator: jnp.ndarray,
     sorted_dst: bool = False,
+    rfft=None,
 ) -> jnp.ndarray:
     """Messages by pointwise product on the sphere; returns flat node
-    features of ``spec.irreps_out``."""
+    features of ``spec.irreps_out``.
+
+    ``rfft``: None resolves from use_rfft().  The halo-parallel path
+    passes False: jax's rfft/irfft transpose rules do not propagate
+    shard_map's varying-manual-axes info yet (cotangent vma mismatch),
+    so inside shard_map the complex-FFT formulation is used."""
     from .mlp import mlp_apply
 
     L = spec.L_x + spec.L_f
@@ -273,12 +321,20 @@ def apply_gaunt_conv(
 
     x_stride = flat_to_stride(x_flat, spec.irreps_x)   # [N, mul, d]
     x_four = to_fourier(x_stride, spec.L_x)            # [N, mul, u, v]
-    x_fft = jnp.fft.fft2(x_four, s=size)
-
     filt_four = to_fourier(edge_attr[:, None, :], spec.L_f)  # [E,1,u,v]
-    filt_fft = jnp.fft.fft2(filt_four, s=size)
 
-    conv = jnp.fft.ifft2(x_fft[edge_src] * filt_fft)
+    if use_rfft() if rfft is None else rfft:
+        # Hermitian fast path: both operands are coefficient grids of
+        # REAL spherical functions, so the pointwise product happens on
+        # REAL sample grids (two irfft2 + one rfft2 instead of three
+        # complex FFTs, and a real-valued product)
+        s_x = _real_samples(x_four, spec.L_x, L)
+        s_f = _real_samples(filt_four, spec.L_f, L)
+        conv = _coeffs_from_real_samples(s_x[edge_src] * s_f, L)
+    else:
+        x_fft = jnp.fft.fft2(x_four, s=size)
+        filt_fft = jnp.fft.fft2(filt_four, s=size)
+        conv = jnp.fft.ifft2(x_fft[edge_src] * filt_fft)
     msg_stride = to_spherical(conv, L, spec.L_out)     # [E, mul, d_out]
 
     w = mlp_apply(weight_nn_params, emb, spec.act_radial)

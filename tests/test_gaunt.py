@@ -182,3 +182,53 @@ def test_gaunt_halo_parallel(itype):
     e, f, _ = fwd(pos)
     assert abs(float(e) - e_ser) < 1e-3 * max(1, abs(e_ser))
     np.testing.assert_allclose(gather_forces(plan, f), f_ser, atol=1e-4)
+
+
+def test_hermitian_rfft_conv_matches_complex(monkeypatch):
+    """The real-FFT (Hermitian) Gaunt convolution path equals the
+    complex-FFT formulation in values and gradients (reference ships
+    the same fast path: sevenn/nn/gaunt_util.py:279-313,
+    convolution.py:261-403)."""
+    import os
+
+    import jax
+
+    from sevennet_finetuning_tpu.ops import gaunt as G
+    from sevennet_finetuning_tpu.ops.mlp import mlp_init
+
+    spec = G.gaunt_conv_spec(
+        Irreps('4x0e+4x1o+4x2e'), Irreps('1x0e+1x1o+1x2e'),
+        Irreps('4x0e+4x1o+4x2e'), (8, 8), 8, 'silu')
+    rng = np.random.default_rng(0)
+    N, E = 10, 37
+    x = jnp.asarray(rng.standard_normal((N, spec.irreps_x.dim)),
+                    jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((E, spec.irreps_filter.dim)),
+                     jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((E, 8)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, N, E)).astype(np.int32))
+    wp = [jnp.asarray(w) for w in
+          mlp_init(spec.radial_hs + (spec.weight_numel,), rng)]
+    den = jnp.ones((1,), jnp.float32)
+
+    def run():
+        return G.apply_gaunt_conv(spec, wp, x, sh, emb, src, dst, N,
+                                  den, sorted_dst=True)
+
+    def grad():
+        return jax.grad(
+            lambda xx: jnp.sum(G.apply_gaunt_conv(
+                spec, wp, xx, sh, emb, src, dst, N, den, True) ** 2)
+        )(x)
+
+    monkeypatch.setenv('SEVENN_GAUNT_RFFT', '0')
+    a, ga = run(), grad()
+    monkeypatch.setenv('SEVENN_GAUNT_RFFT', '1')
+    b, gb = run(), grad()
+    scale = float(jnp.max(jnp.abs(a)))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=2e-6 * scale)
+    gscale = float(jnp.max(jnp.abs(ga)))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               atol=2e-6 * gscale)
