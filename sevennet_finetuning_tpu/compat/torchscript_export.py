@@ -111,39 +111,19 @@ def _sh_monomial_table(lmax: int) -> List[np.ndarray]:
     return tables
 
 
-def build_torch_model(spec: ModelSpec, params):
-    """Assemble the plain-torch deploy module (host-side, CPU)."""
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _tmods():
+    """Torch building-block modules shared by the serial and parallel
+    exporters (lazy: torch imports only when exporting)."""
     import torch
     import torch.nn as nn
-
-    for blk in spec.blocks:
-        if blk.block_type != 'nequip' or blk.conv_kind != 'cg':
-            raise NotImplementedError(
-                'TorchScript export covers the NequIP/SevenNet-0 block '
-                f'family; got block type {blk.block_type!r} '
-                f'(conv {blk.conv_kind!r})'
-            )
-
-    es = spec.edge
-    lmax = es.lmax_edge
-    sh_tables = _sh_monomial_table(lmax)
-
-    from ..ops.linear import linear_spec
-
-    one_hot_irreps = Irreps(f'{spec.num_species}x0e')
-    embed_ls = linear_spec(one_hot_irreps, spec.blocks[0].irreps_x,
-                           biases=spec.use_bias_in_linear)
-
-    def P(name):
-        return {k: np.asarray(v) for k, v in params[name].items()}
 
     class ShiftedSoftplus(nn.Module):
         def forward(self, x):
             return torch.nn.functional.softplus(x) - math.log(2.0)
-
-    def act_module(name):
-        return {'silu': nn.SiLU(), 'ssp': ShiftedSoftplus(),
-                'tanh': nn.Tanh(), 'abs': None, 'relu': nn.ReLU()}[name]
 
     class NormAct(nn.Module):
         """Second-moment-normalized activation (e3nn normalize2mom)."""
@@ -296,6 +276,48 @@ def build_torch_model(spec: ModelSpec, params):
                 goff += mul
                 xoff += mul * d
             return torch.cat(outs, dim=1)
+
+    import types as _types
+
+    return _types.SimpleNamespace(
+        torch=torch, nn=nn, ShiftedSoftplus=ShiftedSoftplus,
+        NormAct=NormAct, DenseLinear=DenseLinear, RadialMLP=RadialMLP,
+        ConvGroup=ConvGroup, Gate=Gate,
+    )
+
+
+def build_torch_model(spec: ModelSpec, params):
+    """Assemble the plain-torch deploy module (host-side, CPU)."""
+    import torch
+    import torch.nn as nn
+
+    for blk in spec.blocks:
+        if blk.block_type != 'nequip' or blk.conv_kind != 'cg':
+            raise NotImplementedError(
+                'TorchScript export covers the NequIP/SevenNet-0 block '
+                f'family; got block type {blk.block_type!r} '
+                f'(conv {blk.conv_kind!r})'
+            )
+
+    es = spec.edge
+    lmax = es.lmax_edge
+    sh_tables = _sh_monomial_table(lmax)
+
+    from ..ops.linear import linear_spec
+
+    one_hot_irreps = Irreps(f'{spec.num_species}x0e')
+    embed_ls = linear_spec(one_hot_irreps, spec.blocks[0].irreps_x,
+                           biases=spec.use_bias_in_linear)
+
+    def P(name):
+        return {k: np.asarray(v) for k, v in params[name].items()}
+
+    T = _tmods()
+    NormAct = T.NormAct
+    DenseLinear = T.DenseLinear
+    RadialMLP = T.RadialMLP
+    ConvGroup = T.ConvGroup
+    Gate = T.Gate
 
     class Block(nn.Module):
         def __init__(self, blk):

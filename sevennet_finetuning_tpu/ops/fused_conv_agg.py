@@ -138,11 +138,22 @@ def _impl(a, b, c, dst, *, layout, mode, n_node):
     raise ValueError(mode)
 
 
+def _use_bwd_kernel() -> bool:
+    if not _use_kernel():
+        return False
+    return os.environ.get('SEVENN_FUSED_BWD', '1') != '0'
+
+
 def _impl_tpu(a, b, c, dst, *, layout, mode, n_node):
     if mode == 'agg' and _use_kernel():
         from .fused_conv_agg_kernel import agg_pallas
 
         return agg_pallas(a, b, c, dst, layout=layout, n_node=n_node)
+    if mode in ('xn', 'shn', 'wn') and _use_bwd_kernel():
+        from .fused_conv_bwd_kernel import bwd_pallas
+
+        return bwd_pallas(a, b, c, dst, layout=layout, mode=mode,
+                          n_node=n_node)
     return _impl(a, b, c, dst, layout=layout, mode=mode, n_node=n_node)
 
 

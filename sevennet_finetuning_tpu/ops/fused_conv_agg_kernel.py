@@ -24,9 +24,20 @@ from .fused_conv import CGLayout
 
 
 def _tiles():
-    TN = int(os.environ.get('SEVENN_AGG_NODE_TILE', '128'))
+    TN = int(os.environ.get('SEVENN_AGG_NODE_TILE', '64'))
     TE = int(os.environ.get('SEVENN_AGG_EDGE_TILE', '256'))
     return TN, TE
+
+
+def _use_fm() -> bool:
+    """Feature-major in-kernel message compute (round 5): transpose the
+    edge slabs in VMEM and run the sublane-sliced contraction -- the
+    round-4 edge-major compute pays lane-offset operand shifts at mul
+    32/64 (see fused_conv_bwd_kernel).  The scatter matmul keeps the
+    identical K=TE contraction over identical values, so the aggregated
+    sums stay BITWISE equal to the edge-major path and to the round-3
+    chain's sorted-scatter kernel (the bench A/B invariant)."""
+    return os.environ.get('SEVENN_AGG_FM', '1') != '0'
 
 
 def _msg_value(layout: CGLayout, x, sh, w):
@@ -105,11 +116,27 @@ def _kernel(TN, TE, layout, bounds_ref, dst_ref, x_ref, sh_ref, w_ref,
         for c in copies(et, slot):
             c.wait()
 
+        oh = (row_ids == dst_buf[slot])
+        if _use_fm():
+            from .fused_conv_bwd_kernel import _emit_value
+
+            msg_T = _emit_value(
+                layout, 'msg', None, x_buf[slot][:].T,
+                sh_buf[slot][:].T, w_buf[slot][:].T,
+                layout.dim_msg, TE)
+            # same K=TE contraction over the same values as the
+            # edge-major path -> bitwise-identical aggregated sums
+            out_ref[:] += jax.lax.dot_general(
+                oh.astype(jnp.float32), msg_T,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(out_ref.dtype)
+            return carry
         msg = _msg_value(layout, x_buf[slot], sh_buf[slot], w_buf[slot])
         # exact f32 one-hot reduce (a bf16x3 split halves the MXU passes
         # but its temporaries tip the kernel over the 16 MB VMEM limit
         # at this tile size; measured net-neutral at smaller tiles)
-        oh = (row_ids == dst_buf[slot])
         out_ref[:] += jax.lax.dot(
             oh.astype(msg.dtype), msg,
             preferred_element_type=jnp.float32,

@@ -1,0 +1,294 @@
+"""Gather-fused Pallas kernels for the cg_node BACKWARD modes (xn/shn/wn).
+
+Round 4 fused the forward direction ('agg': messages + sorted segment
+sum in one kernel, no [E, dim_msg] HBM tensor).  The backward modes
+still composed in XLA: gather ybar rows by dst into a [E, dim_msg]
+cotangent tensor (~270 MB at bench shapes, written AND re-read), then
+transpose every leg to feature-major around the per-edge kernels --
+making each backward-mode call ~2.3-2.6 ms of almost pure HBM traffic
+(PROFILE.md section 5; the round-5 DMA study in tools/bench_dma.py shows
+Pallas pipelining is hard-capped at ~480 GB/s on this chip, so the only
+lever is REMOVING traffic, not pipelining it better).
+
+These kernels compute each backward mode in ONE pallas_call over edge
+tiles with no edge x dim_msg HBM tensor anywhere:
+
+- edge legs stream in/out EDGE-MAJOR (the primitive's native layout --
+  zero XLA relayouts), transposed to feature-major IN-KERNEL (XLU
+  vector transposes, VMEM-only) because the unrolled wigner-3j-sparse
+  contraction is measurably faster feature-major (round-4 finding:
+  edge-major compute pays lane-offset operand shifts at mul 32/64);
+- the node cotangent is gathered INSIDE the kernel: dst is sorted (the
+  collate / halo-plan contract), so each TE-edge tile touches one small
+  contiguous node window; the kernel DMAs WB-row windows of ybar from
+  HBM (dynamic, 8-aligned row offsets) and selects rows with a one-hot
+  MXU matmul.  Selection through the MXU is EXACT at full bf16 rate via
+  a 3-way bitmask split (f32 = hi + mid + lo, each field exactly
+  representable in bf16; one-hot entries are exact; the f32
+  accumulation hi+mid recombines the top 16 mantissa bits exactly, +lo
+  restores all 24) -- so kernel == XLA oracle bitwise, unlike a plain
+  f32 matmul at DEFAULT precision (single bf16 pass, truncates) or
+  HIGHEST (exact but 6 passes, 2x slower).
+
+Out-of-range dst (the padding sentinel, clamped host-side to n_node)
+selects the zero-initialized pad row of ybar -- identical semantics to
+the oracle's where(dst < n_node, ybar[dst], 0).
+
+Reference counterpart: the backward of the convolution hot loop,
+sevenn/nn/convolution.py:104-123 (autograd through message_gather).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_conv import CGLayout
+
+
+def _tile_e() -> int:
+    return int(os.environ.get('SEVENN_BWD_EDGE_TILE', '128'))
+
+
+def _win() -> int:
+    wb = int(os.environ.get('SEVENN_BWD_WINDOW', '64'))
+    assert wb % 8 == 0
+    return wb
+
+
+def _pad128(d):
+    return -(-d // 128) * 128
+
+
+def _split3(v):
+    """Exact 3-way bf16 split of f32: v == hi + mid + lo bitwise."""
+    mask = jnp.uint32(0xFFFF0000)
+    vi = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(vi & mask, jnp.float32)
+    r1 = v - hi
+    r1i = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid = jax.lax.bitcast_convert_type(r1i & mask, jnp.float32)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def _emit_value(layout: CGLayout, mode: str, g_at, x_T, sh_T, w_T,
+                out_dim: int, TE: int):
+    """Feature-major contraction for one backward mode, returning the
+    assembled [out_dim, TE] value.
+
+    ``g_at(off, n)`` returns rows [off:off+n] of the feature-major
+    cotangent; ``x_T``/``sh_T``/``w_T`` are values (or None if unused
+    by the mode).  Same unrolled wigner-3j-sparse math as
+    fused_conv_kernel._emit, python-folded so shared products trace
+    once.
+    """
+    acc = {}
+
+    def add(off, n, expr):
+        if off in acc:
+            acc[off] = (n, acc[off][1] + expr)
+        else:
+            acc[off] = (n, expr)
+
+    for grp in layout.groups:
+        mul = grp.mul
+
+        def x_sl(i, _g=grp):
+            return x_T[_g.x_off + i * mul:_g.x_off + (i + 1) * mul, :]
+
+        def sh_sl(j, _g=grp):
+            return sh_T[_g.sh_off + j:_g.sh_off + j + 1, :]
+
+        def w_sl(p, _m=mul):
+            return w_T[p.w_off:p.w_off + _m, :]
+
+        def g_sl(p, k, _m=mul):
+            return g_at(p.msg_off + k * _m, _m)
+
+        if mode == 'msg':
+            t = {}
+            for p in grp.paths:
+                wp = w_sl(p)
+                for k in range(p.d_out):
+                    expr = None
+                    for (kk, i, j, cc) in p.nnz:
+                        if kk != k:
+                            continue
+                        if (i, j) not in t:
+                            t[(i, j)] = x_sl(i) * sh_sl(j)
+                        term = cc * t[(i, j)]
+                        expr = term if expr is None else expr + term
+                    if expr is not None:
+                        add(p.msg_off + k * mul, mul, expr * wp)
+        elif mode == 'x':
+            for p in grp.paths:
+                wp = w_sl(p)
+                gw = {k: g_sl(p, k) * wp for k in
+                      sorted({kk for (kk, _, _, _) in p.nnz})}
+                for (k, i, j, cc) in p.nnz:
+                    add(grp.x_off + i * mul, mul,
+                        cc * sh_sl(j) * gw[k])
+        elif mode == 'sh':
+            for p in grp.paths:
+                wp = w_sl(p)
+                gw = {k: g_sl(p, k) * wp for k in
+                      sorted({kk for (kk, _, _, _) in p.nnz})}
+                for (k, i, j, cc) in p.nnz:
+                    red = jnp.sum(cc * x_sl(i) * gw[k], axis=0,
+                                  keepdims=True)
+                    add(grp.sh_off + j, 1, red)
+        elif mode == 'w':
+            t = {}
+            for p in grp.paths:
+                expr = None
+                for (k, i, j, cc) in p.nnz:
+                    if (i, j) not in t:
+                        t[(i, j)] = x_sl(i) * sh_sl(j)
+                    term = cc * t[(i, j)] * g_sl(p, k)
+                    expr = term if expr is None else expr + term
+                if expr is not None:
+                    add(p.w_off, mul, expr)
+        else:
+            raise ValueError(mode)
+
+    dt = jnp.float32
+    parts = []
+    pos = 0
+    for off in sorted(acc):
+        n, expr = acc[off]
+        assert off >= pos, 'overlapping output chunks'
+        if off > pos:
+            parts.append(jnp.zeros((off - pos, TE), dt))
+        parts.append(expr)
+        pos = off + n
+    if pos < out_dim:
+        parts.append(jnp.zeros((out_dim - pos, TE), dt))
+    return jnp.concatenate(parts, axis=0)
+
+
+# map cg_node backward mode -> per-edge emit mode and leg roles
+_EMIT_MODE = {'xn': 'x', 'shn': 'sh', 'wn': 'w'}
+# legs after ybar, per fused_conv_agg._MODE_LEGS
+_EDGE_LEGS = {'xn': ('sh', 'w'), 'shn': ('x', 'w'), 'wn': ('x', 'sh')}
+_OUT_LEG = {'xn': 'x', 'shn': 'sh', 'wn': 'w'}
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
+                n_et: int, NBR: int, d_b: int, d_c: int, d_out: int,
+                dim_msg_p: int, interpret: bool):
+    emit_mode = _EMIT_MODE[mode]
+    legs = _EDGE_LEGS[mode]
+
+    def kernel(dst_ref, ybar_hbm, b_ref, c_ref, out_ref, g_ref, win,
+               sem):
+        dst_t = dst_ref[0, :]                       # [TE] int32, sorted
+        lo = dst_ref[0, 0]
+        hi = dst_ref[0, TE - 1]
+        nb0 = lo // WB
+        nwin = hi // WB - nb0 + 1
+
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+        def wbody(i, carry):
+            start = pl.multiple_of((nb0 + i) * WB, WB)
+            cp = pltpu.make_async_copy(
+                ybar_hbm.at[pl.ds(start, WB), :], win, sem)
+            cp.start()
+            cp.wait()
+            rel = dst_t[None, :] - start            # [1, TE]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (WB, TE), 0)
+            oh = (iota == rel).astype(jnp.bfloat16)  # [WB, TE]
+            for part in _split3(win[:]):
+                g_ref[:] += jax.lax.dot_general(
+                    part, oh,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return carry
+
+        jax.lax.fori_loop(0, nwin, wbody, 0)
+
+        b_T = b_ref[:].T                            # [d_b, TE]
+        c_T = c_ref[:].T                            # [d_c, TE]
+        vals = {legs[0]: b_T, legs[1]: c_T}
+
+        def g_at(off, n):
+            return g_ref[off:off + n, :]
+
+        out_T = _emit_value(
+            layout, emit_mode, g_at,
+            vals.get('x'), vals.get('sh'), vals.get('w'),
+            d_out, TE,
+        )
+        out_ref[:] = out_T.T
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_et,),
+            in_specs=[
+                pl.BlockSpec((1, TE), lambda e: (0, e),
+                             memory_space=pltpu.VMEM),       # dst
+                pl.BlockSpec(memory_space=pl.ANY),           # ybar HBM
+                pl.BlockSpec((TE, d_b), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TE, d_c), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TE, d_out), lambda e: (e, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((dim_msg_p, TE), jnp.float32),    # g_T
+                pltpu.VMEM((WB, dim_msg_p), jnp.float32),    # window
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_et * TE, d_out), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def bwd_pallas(ybar, b, c, dst, *, layout: CGLayout, mode: str,
+               n_node: int, interpret: bool = False):
+    """One cg_node backward mode as a single gather-fused kernel.
+
+    ybar: [n_node, dim_msg] node cotangent; b, c: edge-major legs per
+    fused_conv_agg._MODE_LEGS[mode][1:]; dst: [E] sorted with
+    out-of-range sentinel padding.  Returns [E, dim_out] edge-major.
+    """
+    E = dst.shape[0]
+    TE = _tile_e()
+    WB = _win()
+    E_pad = -(-E // TE) * TE
+
+    dim_msg_p = _pad128(layout.dim_msg)
+    # rows: real nodes + the sentinel row (zeros), rounded to WB
+    NBR = -(-(n_node + 1) // WB) * WB
+    ybar_p = jnp.pad(ybar, ((0, NBR - ybar.shape[0]),
+                            (0, dim_msg_p - ybar.shape[1])))
+
+    def pad_edge(v):
+        return jnp.pad(v, ((0, E_pad - v.shape[0]),
+                           (0, _pad128(v.shape[1]) - v.shape[1])))
+
+    b_p, c_p = pad_edge(b), pad_edge(c)
+    dstc = jnp.minimum(dst, n_node).astype(jnp.int32)
+    if E_pad != E:
+        dstc = jnp.pad(dstc, (0, E_pad - E), constant_values=n_node)
+
+    d_out_real = {'xn': layout.dim_x, 'shn': layout.dim_sh,
+                  'wn': layout.dim_w}[mode]
+    call = _build_call(layout, mode, TE, WB, E_pad // TE, NBR,
+                       b_p.shape[1], c_p.shape[1], _pad128(d_out_real),
+                       dim_msg_p, interpret)
+    out = call(dstc.reshape(1, E_pad), ybar_p, b_p, c_p)
+    return out[:E, :d_out_real]
