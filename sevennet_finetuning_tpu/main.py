@@ -78,6 +78,12 @@ def cmd_get_model(args):
     from . import keys as K
     from .train.checkpoint import load_checkpoint, save_deployed
 
+    if not os.path.exists(args.checkpoint):
+        # allow pretrained names, like the reference CLI (reference:
+        # sevenn/main/sevenn_get_model.py + util.pretrained_name_to_path)
+        from .compat.known_models import pretrained_name_to_path
+
+        args.checkpoint = pretrained_name_to_path(args.checkpoint)
     blob = load_checkpoint(args.checkpoint)
     config = blob['config']
     out = args.output or (
@@ -97,13 +103,25 @@ def cmd_get_model(args):
     print('load with Calculator.from_checkpoint(...) or use for '
           'parallel MD via parallel.halo')
     if getattr(args, 'torchscript', False):
-        from .compat.torchscript_export import export_serial
         from .train.checkpoint import model_from_checkpoint
 
         spec, params, _ = model_from_checkpoint(args.checkpoint)
-        ts_out = os.path.splitext(out)[0] + '.pt'
-        export_serial(spec, params, ts_out)
-        print(f'TorchScript (reference serial deploy format): {ts_out}')
+        if args.parallel:
+            # reference multi-GPU LAMMPS segment chain
+            # (sevenn/scripts/deploy.py:55-117)
+            from .compat.torchscript_export_parallel import export_parallel
+
+            ts_dir = os.path.splitext(out)[0] + '_parallel'
+            paths = export_parallel(spec, params, ts_dir)
+            print('TorchScript (reference parallel deploy format): '
+                  f'{len(paths)} segments in {ts_dir}/')
+        else:
+            from .compat.torchscript_export import export_serial
+
+            ts_out = os.path.splitext(out)[0] + '.pt'
+            export_serial(spec, params, ts_out)
+            print('TorchScript (reference serial deploy format): '
+                  f'{ts_out}')
 
 
 def cmd_preset(args):
