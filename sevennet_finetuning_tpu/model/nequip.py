@@ -637,7 +637,7 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
                     x_in, ps_['sh'], ps_['emb'], ps_['src'],
                     ps_['dst'], n_node, jnp.ones_like(
                         conv_p['denominator']),
-                    sorted_dst=True, rfft=False,
+                    sorted_dst=True,
                 )
                 agg = a if agg is None else agg + a
             x = agg / conv_p['denominator']
@@ -647,7 +647,6 @@ def _run_one_block(spec, blk, params, x, onehot, emb, edge_attr,
                 [conv_p[f'weight_nn_w{i}'] for i in range(n_w)],
                 x_all, edge_attr, emb, edge_src, edge_dst, n_node,
                 conv_p['denominator'], sorted_dst=edges_sorted,
-                rfft=(False if exchange_fn is not None else None),
             )
     elif fused:
         # fused edge-tile CG convolution (ops/fused_conv.py): the whole

@@ -20,6 +20,7 @@ Unlike the reference, the basis-change tables are not shipped pickles:
 from __future__ import annotations
 
 from dataclasses import dataclass
+import functools
 from functools import lru_cache
 from typing import Tuple
 
@@ -164,6 +165,119 @@ def to_spherical(grid: jnp.ndarray, L: int, L_max: int) -> jnp.ndarray:
     ).real
 
 
+# --------------------------------------------------------------------------
+# real-FFT primitive pair: jax's built-in rfft/irfft TRANSPOSE rules do
+# not propagate shard_map's varying-manual-axes (vma), which silently
+# broke gradients of the Hermitian fast path under the halo executor
+# (round-4 workaround: force the 3x-costlier complex path there).  This
+# closed pair carries explicit transpose rules -- measured against
+# jax.linear_transpose for odd M (no Nyquist bin):
+#     irfft2^T(g)  = conj(rfft2(g)) * w / M^2,   w = [1, 2, ..., 2]
+#     rfft2^T(gc)  = irfft2(conj(gc) / w) * M^2
+# -- each expressed through the OTHER member, so arbitrary-order AD
+# stays inside the family, and the abstract eval uses standard_vma_rule
+# (the same pattern as ops.fused_conv.cg_quad_p).
+# --------------------------------------------------------------------------
+
+from jax._src import core as _jcore2
+from jax._src import dispatch as _jdispatch2
+from jax.extend.core import Primitive as _Primitive2
+from jax.interpreters import ad as _ad2
+from jax.interpreters import batching as _batching2
+from jax.interpreters import mlir as _mlir2
+
+rfft2_pair_p = _Primitive2('gaunt_rfft2_pair')
+
+
+def _rfft_pair(mode: str, x, M: int):
+    (x,) = _jcore2.standard_insert_pvary(x)
+    return rfft2_pair_p.bind(x, mode=mode, M=int(M))
+
+
+def _rfft_pair_abstract(x, *, mode, M):
+    vma = _jcore2.standard_vma_rule('gaunt_rfft2_pair', x)
+    if mode == 'irfft2':
+        real = jnp.finfo(x.dtype).dtype if jnp.issubdtype(
+            x.dtype, jnp.complexfloating) else x.dtype
+        shape = x.shape[:-1] + (M,)
+        return x.update(shape=shape, dtype=jnp.dtype(real), vma=vma)
+    cplx = jnp.result_type(x.dtype, jnp.complex64)
+    shape = x.shape[:-1] + (M // 2 + 1,)
+    return x.update(shape=shape, dtype=cplx, vma=vma)
+
+
+rfft2_pair_p.def_abstract_eval(_rfft_pair_abstract)
+rfft2_pair_p.def_impl(
+    functools.partial(_jdispatch2.apply_primitive, rfft2_pair_p))
+
+
+def _rfft_pair_lower(x, *, mode, M):
+    if mode == 'irfft2':
+        return jnp.fft.irfft2(x, s=(M, M))
+    return jnp.fft.rfft2(x)
+
+
+_mlir2.register_lowering(
+    rfft2_pair_p, _mlir2.lower_fun(_rfft_pair_lower,
+                                   multiple_results=False))
+
+
+def _rfft_pair_jvp(primals, tangents, *, mode, M):
+    (x,) = primals
+    (t,) = tangents
+    out = _rfft_pair(mode, x, M)
+    if isinstance(t, _ad2.Zero):
+        return out, _ad2.Zero.from_primal_value(out)
+    return out, _rfft_pair(mode, t, M)
+
+
+_ad2.primitive_jvps[rfft2_pair_p] = _rfft_pair_jvp
+
+
+def _half_weights(M, dtype):
+    L1 = M // 2 + 1
+    return jnp.concatenate(
+        [jnp.ones((1,), dtype), 2.0 * jnp.ones((L1 - 1,), dtype)])
+
+
+def _rfft_pair_transpose(ct, x, *, mode, M):
+    assert isinstance(x, _ad2.UndefinedPrimal)
+    if isinstance(ct, _ad2.Zero):
+        return (_ad2.Zero(x.aval),)
+    assert M % 2 == 1, 'transpose formulas assume odd M (no Nyquist)'
+    if mode == 'irfft2':
+        F = _rfft_pair('rfft2', ct, M)
+        w = _half_weights(M, jnp.finfo(ct.dtype).dtype)
+        return (jnp.conj(F) * w / (M * M),)
+    w = _half_weights(M, jnp.float32)
+    back = _rfft_pair('irfft2', jnp.conj(ct) / w, M)
+    return (back * (M * M),)
+
+
+_ad2.primitive_transposes[rfft2_pair_p] = _rfft_pair_transpose
+
+
+def _rfft_pair_batcher(args, dims, *, mode, M):
+    (x,) = args
+    (d,) = dims
+    # the op acts on the last two axes; any leading axis is a batch axis
+    x = _batching2.moveaxis(x, d, 0)
+    return _rfft_pair(mode, x, M), 0
+
+
+_batching2.primitive_batchers[rfft2_pair_p] = _rfft_pair_batcher
+
+
+def _irfft2_sym(x, M: int) -> jnp.ndarray:
+    """shard_map-safe irfft2(x, s=(M, M)) with closed AD (see above)."""
+    return _rfft_pair('irfft2', x, M)
+
+
+def _rfft2_sym(x) -> jnp.ndarray:
+    """shard_map-safe rfft2 over the last two axes, M = x.shape[-1]."""
+    return _rfft_pair('rfft2', x, x.shape[-1])
+
+
 def _real_samples(grid: jnp.ndarray, Lg: int, L: int) -> jnp.ndarray:
     """Centered coefficient grid [..., 2Lg+1, 2Lg+1] of a REAL spherical
     function -> its REAL sample grid [..., M, M], M = 2L+1.
@@ -182,7 +296,7 @@ def _real_samples(grid: jnp.ndarray, Lg: int, L: int) -> jnp.ndarray:
     pad = [(0, 0)] * (grid.ndim - 2) + [(0, M - n), (0, M - n)]
     wrapped = jnp.roll(jnp.pad(grid, pad), (-Lg, -Lg), axis=(-2, -1))
     half = jnp.conj(wrapped)[..., :, :L + 1]
-    return (M * M) * jnp.fft.irfft2(half, s=(M, M))
+    return (M * M) * _irfft2_sym(half, M)
 
 
 def _coeffs_from_real_samples(S: jnp.ndarray, L: int) -> jnp.ndarray:
@@ -190,7 +304,7 @@ def _coeffs_from_real_samples(S: jnp.ndarray, L: int) -> jnp.ndarray:
     coefficient grid [..., M, M] (complex), via one rfft2 + Hermitian
     reconstruction of the missing half."""
     M = 2 * L + 1
-    F = jnp.fft.rfft2(S)                       # [..., M, L+1]
+    F = _rfft2_sym(S)                          # [..., M, L+1]
     left = jnp.conj(F) / (M * M)
     rows_rev = jnp.roll(jnp.flip(F, axis=-2), 1, axis=-2)
     right = rows_rev[..., :, 1:L + 1][..., :, ::-1] / (M * M)
@@ -310,10 +424,11 @@ def apply_gaunt_conv(
     """Messages by pointwise product on the sphere; returns flat node
     features of ``spec.irreps_out``.
 
-    ``rfft``: None resolves from use_rfft().  The halo-parallel path
-    passes False: jax's rfft/irfft transpose rules do not propagate
-    shard_map's varying-manual-axes info yet (cotangent vma mismatch),
-    so inside shard_map the complex-FFT formulation is used."""
+    ``rfft``: None resolves from use_rfft().  The Hermitian fast path
+    is shard_map-safe since round 5: the rFFTs ride the
+    ``rfft2_pair_p`` primitive whose explicit transpose rules propagate
+    varying-manual-axes (jax's built-in rfft transposes do not), so the
+    halo executor gets the same fast path as the serial one."""
     from .mlp import mlp_apply
 
     L = spec.L_x + spec.L_f

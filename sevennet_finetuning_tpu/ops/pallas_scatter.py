@@ -410,6 +410,25 @@ def _seg_transpose(ct, values, idx, perm, *, mode, n_rows, sorted_idx,
         dv = _bind_raw(ct, idx, perm, mode='gather',
                        zero_oob=True, **common)
     else:
+        if os.environ.get('SEVENN_DEBUG_COTANGENT'):
+            # debug-mode assertion of the zero-cotangent invariant
+            # (gather_rows docstring): cotangents on out-of-range rows
+            # are DROPPED by the scatter below; every caller must
+            # guarantee they are zero (EDGE_MASK zeroes the radial
+            # embedding of padded edges).  Env-gated -- production
+            # traces carry no callback.
+            def _check_dropped_zero(max_abs):
+                if float(max_abs) > 0.0:
+                    raise FloatingPointError(
+                        'gather_rows transpose: nonzero cotangent '
+                        f'(max |ct| = {float(max_abs):g}) on an '
+                        'out-of-range row would be silently dropped; '
+                        'the zero-cotangent precondition is violated'
+                    )
+
+            dropped = jnp.where((idx >= n_rows)[:, None],
+                                jnp.abs(ct), 0.0)
+            jax.debug.callback(_check_dropped_zero, jnp.max(dropped))
         dv = _bind_raw(ct, idx, perm, mode='scatter',
                        zero_oob=False, **common)
     return dv, None, None

@@ -149,12 +149,18 @@ def test_gaunt_requires_parity():
         build_model_spec(cfg)
 
 
+@pytest.mark.parametrize('rfft', ['0', '1'])
 @pytest.mark.parametrize('itype', ['gaunt_gate', 'gaunt'])
-def test_gaunt_halo_parallel(itype):
+def test_gaunt_halo_parallel(itype, rfft, monkeypatch):
     """Serial == spatially-decomposed agreement for the Gaunt-FFT
     interaction types (the same contract the nequip/mace halo tests
     assert; reference analogue:
-    pretrained_potentials/SevenNet_0__11July2024/README.md:29-30)."""
+    pretrained_potentials/SevenNet_0__11July2024/README.md:29-30).
+
+    rfft='1' pins the round-5 fix: the Hermitian fast path's rFFT
+    primitives propagate vma, so it now runs (and differentiates --
+    forces) under the shard_map halo executor too."""
+    monkeypatch.setenv('SEVENN_GAUNT_RFFT', rfft)
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
