@@ -84,10 +84,12 @@ class HaloPlan:
     edge_src_perm: np.ndarray  # [D, n_edge]: argsort of src per device
     # comm/compute-overlap partition: edges whose SOURCE is local vs in
     # the ghost blocks.  Local-source messages depend only on this
-    # device's features, so XLA schedules them CONCURRENTLY with the
+    # device's features, so XLA CAN schedule them concurrently with the
     # per-layer ghost ppermutes (SURVEY 2.3: halo exchange "overlapped
     # with local aggregation"); ghost-source messages consume the
-    # exchange.  Each set is dst-sorted with sentinel padding + its own
+    # exchange.  NOTE: the independence is structural; actual overlap
+    # on multi-chip TPU hardware is unverified (SCALING.json
+    # overlap_caveat -- the CPU mesh emits synchronous permutes).  Each set is dst-sorted with sentinel padding + its own
     # src-sort permutation (kernel contract).
     edge_loc: Dict[str, np.ndarray] = None   # idx [D,2,El], shift, mask, perm
     edge_gh: Dict[str, np.ndarray] = None
@@ -457,10 +459,11 @@ def _network_energy(spec: ModelSpec, plan: HaloPlan, params,
 
     ``loc``/``gh`` carry (dst, src, mask, perm) of the two edge
     partitions; local-source messages depend only on this device's
-    features, so the per-layer ghost ppermutes schedule CONCURRENTLY
-    with them (comm/compute overlap -- the block issues the exchange
-    next to the local-edge convolution with no data dependence
-    between them)."""
+    features, so the per-layer ghost ppermutes CAN schedule
+    concurrently with them (the block issues the exchange next to the
+    local-edge convolution with no data dependence between them;
+    whether the backend actually overlaps them is unverified on
+    multi-chip hardware -- SCALING.json overlap_caveat)."""
     from ..model.nequip import readout_and_rescale, run_blocks
 
     one_hot_irreps = Irreps(f'{spec.num_species}x0e')
