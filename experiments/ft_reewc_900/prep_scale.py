@@ -6,8 +6,14 @@ CUDA GPU (reference: example_inputs/fine_tuning/FT_w_reEWC/
 log.sevenn:291-381).  Its .sevenn_data files are not shipped, so this
 builds a same-SIZE workload from the energy-aligned example frames
 (../ft_reewc/data, produced by ../ft_reewc/prep_align.py): each frame is
-replicated 180x with a tiny (0.005 A) random displacement so every graph
-is distinct while the frozen labels stay accurate to ~2 meV/A * 0.005 A.
+replicated 180x with a tiny (5e-4 A) random displacement so every graph
+is distinct.  Labels: the energy gets the exact first-order correction
+E += F . dx (forces are known), leaving only O(|dx|^2) error
+(~1e-6 eV/atom); the frozen FORCE labels carry ~|H.dx| ~ 5-25 meV/A of
+noise -- far below the golden-run band (Valid F MAE <= 0.06 eV/A).
+(Round 5 lesson: the original 0.005 A displacement put the force-label
+noise floor at ~0.1 eV/A, ABOVE the band -- the archived
+conv_out_noisy_labels run converged exactly onto that floor.)
 
 Run from this directory:  python prep_scale.py
 """
@@ -29,7 +35,7 @@ from sevennet_finetuning_tpu.data.vasp import Structure  # noqa: E402
 HERE = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(HERE, '..', 'ft_reewc', 'data')
 N_TARGET = 900
-SIGMA = 0.005  # Angstrom
+SIGMA = 0.0005  # Angstrom
 
 
 def scale_up(frames, n_target, seed):
@@ -41,13 +47,18 @@ def scale_up(frames, n_target, seed):
             if len(out) == n_target:
                 break
             disp = rng.normal(0.0, SIGMA, np.asarray(s.pos).shape) \
-                if r > 0 else 0.0
+                if r > 0 else np.zeros_like(np.asarray(s.pos))
+            e = s.energy
+            if e is not None and s.forces is not None:
+                # first-order (exact-in-F) energy correction:
+                # E(x+dx) = E(x) - F . dx + O(|dx|^2)
+                e = float(e) - float(np.sum(np.asarray(s.forces) * disp))
             out.append(Structure(
                 species=list(s.species),
                 pos=np.asarray(s.pos) + disp,
                 cell=np.asarray(s.cell),
                 pbc=s.pbc,
-                energy=s.energy,
+                energy=e,
                 forces=None if s.forces is None else np.asarray(s.forces),
                 stress=None if s.stress is None else np.asarray(s.stress),
             ))

@@ -383,7 +383,11 @@ class VelocityVerlet:
         Capacity hysteresis: plan capacities only grow (cap_hints
         floors with 15%% headroom), and the segment takes the plan's
         index arrays as jit arguments -- so a trajectory's rebuilds
-        reuse ONE compiled program."""
+        reuse ONE compiled program.
+
+        D3 dispersion is serial-only (use ``run_device``), matching the
+        reference's scope (its D3 pair style is single-GPU:
+        pair_e3gnn/README.md:58-59)."""
         if self.halo_cfg is None:
             raise ValueError('run_device_halo needs halo=dict(...)')
         import jax

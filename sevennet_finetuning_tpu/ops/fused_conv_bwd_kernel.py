@@ -136,14 +136,20 @@ def _emit_value(layout: CGLayout, mode: str, g_at, x_T, sh_T, w_T,
                     add(grp.x_off + i * mul, mul,
                         cc * sh_sl(j) * gw[k])
         elif mode == 'sh':
+            # accumulate [mul, TE] per output component j and reduce
+            # ONCE -- a sublane reduction per nnz term was the sh
+            # mode's extra cost vs its siblings (round 5)
+            jacc = {}
             for p in grp.paths:
                 wp = w_sl(p)
                 gw = {k: g_sl(p, k) * wp for k in
                       sorted({kk for (kk, _, _, _) in p.nnz})}
                 for (k, i, j, cc) in p.nnz:
-                    red = jnp.sum(cc * x_sl(i) * gw[k], axis=0,
-                                  keepdims=True)
-                    add(grp.sh_off + j, 1, red)
+                    term = cc * x_sl(i) * gw[k]
+                    jacc[j] = term if j not in jacc else jacc[j] + term
+            for j, acc_j in jacc.items():
+                add(grp.sh_off + j, 1,
+                    jnp.sum(acc_j, axis=0, keepdims=True))
         elif mode == 'w':
             t = {}
             for p in grp.paths:

@@ -110,14 +110,18 @@ def _emit(layout: CGLayout, mode: str, a_ref, b_ref, c_ref, out_ref):
                     add(grp.x_off + i * mul, mul,
                         cc * sh_sl(j) * gw[k])
         elif mode == 'sh':
+            # one sublane reduction per (group, j), not per nnz term
+            jacc = {}
             for p in grp.paths:
                 wp = w_sl(p)
                 gw = {k: g_sl(p, k) * wp for k in
                       sorted({kk for (kk, _, _, _) in p.nnz})}
                 for (k, i, j, cc) in p.nnz:
-                    red = jnp.sum(cc * x_sl(i) * gw[k], axis=0,
-                                  keepdims=True)
-                    add(grp.sh_off + j, 1, red)
+                    term = cc * x_sl(i) * gw[k]
+                    jacc[j] = term if j not in jacc else jacc[j] + term
+            for j, acc_j in jacc.items():
+                add(grp.sh_off + j, 1,
+                    jnp.sum(acc_j, axis=0, keepdims=True))
         elif mode == 'w':
             t = {}
             for p in grp.paths:
