@@ -238,3 +238,59 @@ def test_hermitian_rfft_conv_matches_complex(monkeypatch):
     gscale = float(jnp.max(jnp.abs(ga)))
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                atol=2e-6 * gscale)
+
+
+def test_rfft_pair_transposes_match_jax():
+    """The gaunt_rfft2_pair primitive's hand-written transpose rules
+    (the vma-propagating replacements for jax's rfft transposes) must
+    equal jax.linear_transpose of the plain FFTs, and close under
+    second-order AD (forces differentiate through them)."""
+    import jax
+
+    from sevennet_finetuning_tpu.ops.gaunt import _irfft2_sym, _rfft2_sym
+
+    rng = np.random.default_rng(3)
+    for L in (1, 2, 3):
+        M = 2 * L + 1
+        h = jnp.asarray(
+            rng.standard_normal((2, M, L + 1))
+            + 1j * rng.standard_normal((2, M, L + 1)), jnp.complex64)
+        g = jnp.asarray(rng.standard_normal((2, M, M)), jnp.float32)
+
+        ct_ours = jax.linear_transpose(
+            lambda x: _irfft2_sym(x, M), h)(g)[0]
+        ct_jax = jax.linear_transpose(
+            lambda x: jnp.fft.irfft2(x, s=(M, M)), h)(g)[0]
+        np.testing.assert_allclose(np.asarray(ct_ours),
+                                   np.asarray(ct_jax),
+                                   rtol=1e-5, atol=1e-6)
+
+        S = jnp.asarray(rng.standard_normal((2, M, M)), jnp.float32)
+        gc = jnp.asarray(
+            rng.standard_normal((2, M, L + 1))
+            + 1j * rng.standard_normal((2, M, L + 1)), jnp.complex64)
+        ct_ours = jax.linear_transpose(lambda x: _rfft2_sym(x), S)(gc)[0]
+        ct_jax = jax.linear_transpose(
+            lambda x: jnp.fft.rfft2(x), S)(gc)[0]
+        np.testing.assert_allclose(np.asarray(ct_ours),
+                                   np.asarray(ct_jax),
+                                   rtol=1e-5, atol=1e-6)
+
+    # grad-of-grad closure (force-in-loss shape)
+    M = 5
+    h0 = jnp.asarray(rng.standard_normal((M, 3))
+                     + 1j * rng.standard_normal((M, 3)), jnp.complex64)
+
+    def f(x):
+        return jnp.sum(_irfft2_sym(x, M) ** 3)
+
+    def f_ref(x):
+        return jnp.sum(jnp.fft.irfft2(x, s=(M, M)) ** 3)
+
+    g2_ours = jax.grad(lambda x: jnp.sum(jnp.abs(
+        jax.grad(f, holomorphic=False)(x)) ** 2))
+    g2_ref = jax.grad(lambda x: jnp.sum(jnp.abs(
+        jax.grad(f_ref, holomorphic=False)(x)) ** 2))
+    np.testing.assert_allclose(np.asarray(g2_ours(h0)),
+                               np.asarray(g2_ref(h0)),
+                               rtol=1e-4, atol=1e-5)
