@@ -640,10 +640,10 @@ def make_halo_md_segment(spec: ModelSpec, plan: HaloPlan, mesh: Mesh,
     dt = float(dt_fs)
     half_skin_sq = (float(skin) / 2.0) ** 2
 
-    def shard_fn(params, pos, vel, masses, n_active, atom_type,
-                 node_mask, li, lsh, lm, lp, gi, gsh, gm, gp,
+    def shard_fn(params, pos, vel, masses, n_active, f_in, have_f,
+                 atom_type, node_mask, li, lsh, lm, lp, gi, gsh, gm, gp,
                  *stage_flat):
-        pos, vel, masses = pos[0], vel[0], masses[0]
+        pos, vel, masses, f_in = pos[0], vel[0], masses[0], f_in[0]
         n_active = n_active[0] if n_active.ndim else n_active
         atom_type, node_mask = atom_type[0], node_mask[0]
         li, lsh, lm, lp = li[0], lsh[0], lm[0], lp[0]
@@ -670,7 +670,12 @@ def make_halo_md_segment(spec: ModelSpec, plan: HaloPlan, mesh: Mesh,
             return -g * nmask, e
 
         pos0 = pos
-        f0, _ = forces(pos0)
+        # carried from the previous segment when available (exactly
+        # equal under the fresh skin-padded edge list -- see
+        # md.run_device); saves one distributed force evaluation per
+        # segment
+        f0 = jax.lax.cond(have_f, lambda: f_in,
+                          lambda: forces(pos0)[0])
         e_buf = jnp.full((n_seg,), jnp.nan, jnp.float32)
         ke_buf = jnp.full((n_seg,), jnp.nan, jnp.float32)
 
@@ -701,7 +706,7 @@ def make_halo_md_segment(spec: ModelSpec, plan: HaloPlan, mesh: Mesh,
         trace = jnp.concatenate([
             done.astype(jnp.float32)[None], e_tr, ke_tr,
         ])
-        return pos[None], vel[None], trace[None]
+        return pos[None], vel[None], f[None], trace[None]
 
     try:
         from jax import shard_map
@@ -713,9 +718,9 @@ def make_halo_md_segment(spec: ModelSpec, plan: HaloPlan, mesh: Mesh,
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), sharded, sharded, sharded, P())
+        in_specs=(P(), sharded, sharded, sharded, P(), sharded, P())
         + (sharded,) * (10 + n_stage_args),
-        out_specs=(P(SP_AXIS), P(SP_AXIS), P(SP_AXIS)),
+        out_specs=(P(SP_AXIS), P(SP_AXIS), P(SP_AXIS), P(SP_AXIS)),
     )
 
     # plan arrays are jit ARGUMENTS (not baked constants): every
@@ -723,8 +728,10 @@ def make_halo_md_segment(spec: ModelSpec, plan: HaloPlan, mesh: Mesh,
     # long as the capacities (cap_hints) and dims are stable the segment
     # never recompiles
     @jax.jit
-    def segment(params, pos_sh, vel_sh, masses_sh, n_active, statics):
-        return fn(params, pos_sh, vel_sh, masses_sh, n_active, *statics)
+    def segment(params, pos_sh, vel_sh, masses_sh, n_active, f_sh,
+                have_f, statics):
+        return fn(params, pos_sh, vel_sh, masses_sh, n_active, f_sh,
+                  have_f, *statics)
 
     return segment
 
