@@ -189,7 +189,7 @@ _OUT_LEG = {'xn': 'x', 'shn': 'sh', 'wn': 'w'}
 @functools.lru_cache(maxsize=None)
 def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
                 n_et: int, NBR: int, d_b: int, d_c: int, d_out: int,
-                dim_msg_p: int, interpret: bool):
+                dim_msg_p: int, n_node: int, interpret: bool):
     emit_mode = _EMIT_MODE[mode]
     legs = _EDGE_LEGS[mode]
 
@@ -201,40 +201,64 @@ def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
         nb0 = lo // WB
         nwin = hi // WB - nb0 + 1
 
-        g_ref[:] = jnp.zeros_like(g_ref)
+        # sentinel padding (dst clamped to n_node) sorts to the END, so
+        # a tile whose FIRST dst is the sentinel is pure padding: its
+        # output is zero for every mode (each term carries a g factor
+        # and the sentinel row of ybar is zero) -- skip gather+compute
+        @pl.when(lo >= n_node)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-        def wbody(i, carry):
-            start = pl.multiple_of((nb0 + i) * WB, WB)
-            cp = pltpu.make_async_copy(
-                ybar_hbm.at[pl.ds(start, WB), :], win, sem)
-            cp.start()
-            cp.wait()
-            rel = dst_t[None, :] - start            # [1, TE]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (WB, TE), 0)
-            oh = (iota == rel).astype(jnp.bfloat16)  # [WB, TE]
-            for part in _split3(win[:]):
-                g_ref[:] += jax.lax.dot_general(
-                    part, oh,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            return carry
+        @pl.when(lo < n_node)
+        def _():
+            def start_cp(i, slot):
+                start = pl.multiple_of((nb0 + i) * WB, WB)
+                pltpu.make_async_copy(
+                    ybar_hbm.at[pl.ds(start, WB), :], win.at[slot],
+                    sem.at[slot]).start()
 
-        jax.lax.fori_loop(0, nwin, wbody, 0)
+            # overlap the first window fetch with the leg transposes
+            start_cp(0, 0)
+            b_T = b_ref[:].T                        # [d_b, TE]
+            c_T = c_ref[:].T                        # [d_c, TE]
+            g_ref[:] = jnp.zeros_like(g_ref)
 
-        b_T = b_ref[:].T                            # [d_b, TE]
-        c_T = c_ref[:].T                            # [d_c, TE]
-        vals = {legs[0]: b_T, legs[1]: c_T}
+            def wbody(i, carry):
+                slot = i % 2
 
-        def g_at(off, n):
-            return g_ref[off:off + n, :]
+                @pl.when(i + 1 < nwin)
+                def _():
+                    start_cp(i + 1, (i + 1) % 2)
 
-        out_T = _emit_value(
-            layout, emit_mode, g_at,
-            vals.get('x'), vals.get('sh'), vals.get('w'),
-            d_out, TE,
-        )
-        out_ref[:] = out_T.T
+                start = pl.multiple_of((nb0 + i) * WB, WB)
+                pltpu.make_async_copy(
+                    ybar_hbm.at[pl.ds(start, WB), :], win.at[slot],
+                    sem.at[slot]).wait()
+                rel = dst_t[None, :] - start        # [1, TE]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (WB, TE), 0)
+                oh = (iota == rel).astype(jnp.bfloat16)  # [WB, TE]
+                for part in _split3(win[slot]):
+                    g_ref[:] += jax.lax.dot_general(
+                        part, oh,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return carry
+
+            jax.lax.fori_loop(0, nwin, wbody, 0)
+
+            vals = {legs[0]: b_T, legs[1]: c_T}
+
+            def g_at(off, n):
+                return g_ref[off:off + n, :]
+
+            out_T = _emit_value(
+                layout, emit_mode, g_at,
+                vals.get('x'), vals.get('sh'), vals.get('w'),
+                d_out, TE,
+            )
+            out_ref[:] = out_T.T
 
     return pl.pallas_call(
         kernel,
@@ -254,8 +278,8 @@ def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((dim_msg_p, TE), jnp.float32),    # g_T
-                pltpu.VMEM((WB, dim_msg_p), jnp.float32),    # window
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, WB, dim_msg_p), jnp.float32),  # windows
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_et * TE, d_out), jnp.float32),
@@ -295,6 +319,6 @@ def bwd_pallas(ybar, b, c, dst, *, layout: CGLayout, mode: str,
                   'wn': layout.dim_w}[mode]
     call = _build_call(layout, mode, TE, WB, E_pad // TE, NBR,
                        b_p.shape[1], c_p.shape[1], _pad128(d_out_real),
-                       dim_msg_p, interpret)
+                       dim_msg_p, n_node, interpret)
     out = call(dstc.reshape(1, E_pad), ybar_p, b_p, c_p)
     return out[:E, :d_out_real]

@@ -98,6 +98,18 @@ def test_all_sentinel(mode):
     _run_both(layout, mode, ybar, x, sh, w, dst, 5)
 
 
+@pytest.mark.parametrize('mode', MODES)
+def test_dead_trailing_tile(mode, monkeypatch):
+    # a FULLY-sentinel trailing tile among live ones (the collate pads
+    # the edge list to capacity; dead tiles take the round-5 skip path
+    # and must still write zeros)
+    monkeypatch.setenv('SEVENN_BWD_EDGE_TILE', '128')
+    spec = _spec_small()
+    layout, ybar, x, sh, w, dst = _data(spec, E=300, N=41, seed=7,
+                                        sentinel_tail=170)
+    _run_both(layout, mode, ybar, x, sh, w, dst, 41)
+
+
 def test_batch_folded_layout():
     # the vmap batcher folds B batches with a per-batch sentinel stride
     # of (n_node + 1); the kernel must reproduce the oracle there too
