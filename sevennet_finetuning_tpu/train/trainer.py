@@ -402,7 +402,25 @@ class Trainer:
                     acc, _ = self._eval_step(self.params, batch, acc)
         if not fetch:
             return None
-        return finalize(self.metric_specs, jax.device_get(acc))
+        if self.dp:
+            return finalize(self.metric_specs, jax.device_get(acc))
+        return finalize(self.metric_specs, self._fetch_accs(acc)[0])
+
+    @staticmethod
+    def _fetch_accs(*accs):
+        """Fetch accumulator dicts in ONE device->host transfer.
+
+        On the tunneled runtime every array fetch is a full round trip
+        (~35 ms); a metric dict holds 2*n_metrics scalars, so fetching
+        them individually dominates the per-epoch overhead.  Stack all
+        scalars into one device array, fetch once, unpack host-side."""
+        names = [(i, k) for i, a in enumerate(accs) for k in sorted(a)]
+        flat = np.asarray(jax.device_get(
+            jnp.stack([accs[i][k] for i, k in names])))
+        out = [{} for _ in accs]
+        for (i, k), v in zip(names, flat):
+            out[i][k] = v
+        return out
 
     def run_one_epoch_rehearsal(
         self,
@@ -437,9 +455,10 @@ class Trainer:
                     )
             if not fetch:
                 return None, None
+            acc_h, mem_h = self._fetch_accs(acc, mem_acc)
             return (
-                finalize(self.metric_specs, jax.device_get(acc)),
-                finalize(self.metric_specs, jax.device_get(mem_acc)),
+                finalize(self.metric_specs, acc_h),
+                finalize(self.metric_specs, mem_h),
             )
         mem_iter = iter(self._epoch_batches(memloader))
         for batch in self._epoch_batches(loader):
@@ -463,9 +482,10 @@ class Trainer:
                 mem_acc, _ = self._eval_step(self.params, mem_batch, mem_acc)
         if not fetch:
             return None, None
+        acc_h, mem_h = self._fetch_accs(acc, mem_acc)
         return (
-            finalize(self.metric_specs, jax.device_get(acc)),
-            finalize(self.metric_specs, jax.device_get(mem_acc)),
+            finalize(self.metric_specs, acc_h),
+            finalize(self.metric_specs, mem_h),
         )
 
     def compute_fisher_matrix(self, loader: Iterable[Dict],
