@@ -336,11 +336,14 @@ class Loader:
             nodes = np.array([len(g[K.POS]) for g in self.graphs])
             edges = np.array([g[K.EDGE_IDX].shape[1] for g in self.graphs])
             if self._balanced_order is not None:
-                # exact maxima over the packed batches
+                # exact maxima over the packed batches; membership is
+                # FROZEN (only batch order reshuffles), so no headroom
+                # margin is needed -- the 10% default margin was pure
+                # padded compute on every step (round 5)
                 self.n_node = n_node or bucket_capacity(
-                    self._packed_max(nodes))
+                    self._packed_max(nodes), margin=1.0)
                 self.n_edge = n_edge or bucket_capacity(
-                    self._packed_max(edges))
+                    self._packed_max(edges), margin=1.0)
             else:
                 self.n_node = n_node or bucket_capacity(
                     self._worst_batch_total(nodes)
