@@ -342,8 +342,10 @@ class Loader:
                 # padded compute on every step (round 5)
                 self.n_node = n_node or bucket_capacity(
                     self._packed_max(nodes), margin=1.0)
+                # edge quantum 256 = the conv kernels' largest edge
+                # tile, so their row pads are zero-width (XLA elides)
                 self.n_edge = n_edge or bucket_capacity(
-                    self._packed_max(edges), margin=1.0)
+                    self._packed_max(edges), margin=1.0, quantum=256)
             else:
                 self.n_node = n_node or bucket_capacity(
                     self._worst_batch_total(nodes)

@@ -161,6 +161,15 @@ def _pad128(d):
     return -(-d // 128) * 128
 
 
+def _col_pad(d):
+    """Manual-DMA edge legs MUST be lane-padded: Mosaic rejects
+    memref_slice minor dims not aligned to the (1,128) tiling
+    ("Slice shape along dimension 2 must be aligned to tiling"),
+    measured on-chip in round 5 -- unlike the backward kernels'
+    BlockSpec-fed legs, which accept arbitrary minor dims."""
+    return _pad128(d)
+
+
 def agg_pallas(x, sh, w, dst, *, layout: CGLayout, n_node: int,
                interpret: bool = False):
     """Fused messages + sorted segment sum -> [n_node, dim_msg]."""
@@ -168,13 +177,11 @@ def agg_pallas(x, sh, w, dst, *, layout: CGLayout, n_node: int,
     TN, TE = _tiles()
     E_pad = -(-E // TE) * TE
     N_pad = -(-n_node // TN) * TN
-    # manual HBM->VMEM DMAs want lane-aligned (128-multiple) minor dims;
-    # zero columns are never addressed by the unrolled contraction
-    x = jnp.pad(x, ((0, E_pad - E), (0, _pad128(x.shape[1]) - x.shape[1])))
+    x = jnp.pad(x, ((0, E_pad - E), (0, _col_pad(x.shape[1]) - x.shape[1])))
     sh = jnp.pad(sh, ((0, E_pad - E),
-                      (0, _pad128(sh.shape[1]) - sh.shape[1])))
+                      (0, _col_pad(sh.shape[1]) - sh.shape[1])))
     w = jnp.pad(w, ((0, E_pad - E),
-                    (0, _pad128(w.shape[1]) - w.shape[1])))
+                    (0, _col_pad(w.shape[1]) - w.shape[1])))
     if E_pad != E:
         dst = jnp.pad(dst, (0, E_pad - E), constant_values=N_pad)
     dst = jnp.minimum(dst, N_pad)
@@ -201,9 +208,9 @@ def agg_pallas(x, sh, w, dst, *, layout: CGLayout, n_node: int,
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, 1, TE), jnp.int32),
-                pltpu.VMEM((2, TE, _pad128(layout.dim_x)), dt),
-                pltpu.VMEM((2, TE, _pad128(layout.dim_sh)), dt),
-                pltpu.VMEM((2, TE, _pad128(layout.dim_w)), dt),
+                pltpu.VMEM((2, TE, _col_pad(layout.dim_x)), dt),
+                pltpu.VMEM((2, TE, _col_pad(layout.dim_sh)), dt),
+                pltpu.VMEM((2, TE, _col_pad(layout.dim_w)), dt),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),

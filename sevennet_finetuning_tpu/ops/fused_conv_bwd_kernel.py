@@ -55,10 +55,25 @@ def _tile_e() -> int:
     return int(os.environ.get('SEVENN_BWD_EDGE_TILE', '128'))
 
 
-def _win() -> int:
-    wb = int(os.environ.get('SEVENN_BWD_WINDOW', '64'))
-    assert wb % 8 == 0
-    return wb
+def _win(TE: int, E: int, n_node: int) -> int:
+    """ybar gather-window rows per DMA.
+
+    'auto' (default) sizes the window to ~8x the EXPECTED node span of
+    a TE-edge tile (TE * n_node / E): dst is sorted, so consecutive
+    edges target consecutive nodes and a tile rarely spans more than a
+    few rows.  The round-5 on-chip sweep at bench shapes (span ~4.6,
+    experiments/kernels/SWEEP_r05.txt) has a clear optimum at WB=40 =
+    ~8x span: smaller windows pay extra loop iterations + DMA starts
+    (WB=8: +16%), the round-4 fixed WB=64 overfetches (+12%).  Skewed
+    tiles just take more loop iterations; correctness never depends on
+    the choice."""
+    wb = os.environ.get('SEVENN_BWD_WINDOW', 'auto')
+    if wb != 'auto':
+        wb = int(wb)
+        assert wb % 8 == 0
+        return wb
+    span = TE * n_node / max(E, 1)
+    return min(64, max(16, -(-int(8 * span) // 8) * 8))
 
 
 def _pad128(d):
@@ -188,7 +203,7 @@ _OUT_LEG = {'xn': 'x', 'shn': 'sh', 'wn': 'w'}
 
 @functools.lru_cache(maxsize=None)
 def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
-                n_et: int, NBR: int, d_b: int, d_c: int, d_out: int,
+                n_et: int, E_rows: int, d_b: int, d_c: int, d_out: int,
                 dim_msg_p: int, n_node: int, interpret: bool):
     emit_mode = _EMIT_MODE[mode]
     legs = _EDGE_LEGS[mode]
@@ -282,7 +297,7 @@ def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_et * TE, d_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E_rows, d_out), jnp.float32),
         interpret=interpret,
     )
 
@@ -297,7 +312,7 @@ def bwd_pallas(ybar, b, c, dst, *, layout: CGLayout, mode: str,
     """
     E = dst.shape[0]
     TE = _tile_e()
-    WB = _win()
+    WB = _win(TE, E, n_node)
     E_pad = -(-E // TE) * TE
 
     dim_msg_p = _pad128(layout.dim_msg)
@@ -306,19 +321,21 @@ def bwd_pallas(ybar, b, c, dst, *, layout: CGLayout, mode: str,
     ybar_p = jnp.pad(ybar, ((0, NBR - ybar.shape[0]),
                             (0, dim_msg_p - ybar.shape[1])))
 
-    def pad_edge(v):
-        return jnp.pad(v, ((0, E_pad - v.shape[0]),
-                           (0, _pad128(v.shape[1]) - v.shape[1])))
-
-    b_p, c_p = pad_edge(b), pad_edge(c)
+    # edge legs and the output stay UNPADDED: they are BlockSpec-fed, so
+    # Mosaic masks the partial last tile and packs non-128 minor dims in
+    # VMEM without any HBM copy -- the round-4 jnp.pad of every leg to
+    # lane multiples was ~1.4 GB/step of pure pad+slice traffic.  Rows
+    # beyond E in the last tile read masked garbage, but every output
+    # term carries a g factor and their dst is the sentinel (g = 0), and
+    # the masked store drops those rows anyway.  Only dst (controls the
+    # window bounds) and ybar (manual DMA) still pad.
     dstc = jnp.minimum(dst, n_node).astype(jnp.int32)
     if E_pad != E:
         dstc = jnp.pad(dstc, (0, E_pad - E), constant_values=n_node)
 
     d_out_real = {'xn': layout.dim_x, 'shn': layout.dim_sh,
                   'wn': layout.dim_w}[mode]
-    call = _build_call(layout, mode, TE, WB, E_pad // TE, NBR,
-                       b_p.shape[1], c_p.shape[1], _pad128(d_out_real),
+    call = _build_call(layout, mode, TE, WB, E_pad // TE, E,
+                       b.shape[1], c.shape[1], d_out_real,
                        dim_msg_p, n_node, interpret)
-    out = call(dstc.reshape(1, E_pad), ybar_p, b_p, c_p)
-    return out[:E, :d_out_real]
+    return call(dstc.reshape(1, E_pad), ybar_p, b, c)

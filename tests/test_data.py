@@ -225,3 +225,9 @@ def test_balanced_packing_shrinks_capacity():
     # epoch_order is a permutation of the batches
     order = packed.epoch_order()
     assert sorted(order.tolist()) == list(range(6))
+    # frozen membership -> EXACT capacity: the packed edge max rounded
+    # to the kernel edge-tile quantum (256), no headroom margin (r5)
+    packed_edge_max = max(int(b[K.EDGE_MASK].sum()) for b in batches)
+    assert packed.n_edge == -(-packed_edge_max // 256) * 256
+    packed_node_max = max(int(b[K.NODE_MASK].sum()) for b in batches)
+    assert packed.n_node == -(-packed_node_max // 64) * 64
