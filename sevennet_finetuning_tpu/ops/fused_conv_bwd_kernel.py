@@ -236,7 +236,8 @@ def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
             start_cp(0, 0)
             b_T = b_ref[:].T                        # [d_b, TE]
             c_T = c_ref[:].T                        # [d_c, TE]
-            g_ref[:] = jnp.zeros_like(g_ref)
+            # g_ref needs no zero-init: nwin >= 1 and the i == 0 window
+            # writes it directly
 
             def wbody(i, carry):
                 slot = i % 2
@@ -253,12 +254,30 @@ def _build_call(layout: CGLayout, mode: str, TE: int, WB: int,
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (WB, TE), 0)
                 oh = (iota == rel).astype(jnp.bfloat16)  # [WB, TE]
-                for part in _split3(win[slot]):
-                    g_ref[:] += jax.lax.dot_general(
-                        part, oh,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                # ONE MXU pass instead of three: stack the exact bf16
+                # bitsplit parts along the CONTRACTED axis (K = 3*WB)
+                # with the one-hot tiled to match.  The f32 accumulator
+                # sums hi+mid+lo of the selected row exactly as the
+                # three += passes did (disjoint bit fields; each
+                # product exact), so the result is bitwise identical --
+                # but the selection streams the [dim_msg, TE] result
+                # once per window, not three times.
+                parts = jnp.concatenate(_split3(win[slot]), axis=0)
+                oh3 = jnp.concatenate([oh, oh, oh], axis=0)
+                acc = jax.lax.dot_general(
+                    parts, oh3,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+                @pl.when(i == 0)
+                def _():
+                    g_ref[:] = acc
+
+                @pl.when(i > 0)
+                def _():
+                    g_ref[:] += acc
+
                 return carry
 
             jax.lax.fori_loop(0, nwin, wbody, 0)
