@@ -164,19 +164,37 @@ mlir.register_lowering(
     platform='tpu')
 
 
+def _use_multi_jvp() -> bool:
+    if os.environ.get('SEVENN_NO_PALLAS'):
+        return False
+    return os.environ.get('SEVENN_FUSED_MULTI', '1') != '0'
+
+
 def _jvp(primals, tangents, *, layout, mode, n_node):
     a, b, c, dst = primals
     out = cg_node_apply(mode, a, b, c, dst, layout, n_node)
+    live = [i for i, t in enumerate(tangents[:3])
+            if not isinstance(t, ad.Zero)]
+    if not live:
+        return out, ad.Zero.from_primal_value(out)
+    if len(live) >= 2 and _use_multi_jvp():
+        # one linsum equation instead of a sum of per-tangent calls:
+        # same value (its lowering IS that sum, in the same order), but
+        # its transpose sees all cotangent requests jointly and fuses
+        # the edge-side backward modes into one gather kernel
+        # (ops/fused_conv_multi)
+        from .fused_conv_multi import cg_node_linsum
+
+        t_out = cg_node_linsum(
+            [tangents[i] for i in live], [a, b, c], dst, mode=mode,
+            mask=tuple(live), layout=layout, n_node=n_node)
+        return out, t_out
     t_out = None
-    for i, t in enumerate(tangents[:3]):
-        if isinstance(t, ad.Zero):
-            continue
+    for i in live:
         args = [a, b, c]
-        args[i] = t
+        args[i] = tangents[i]
         term = cg_node_apply(mode, *args, dst, layout, n_node)
         t_out = term if t_out is None else t_out + term
-    if t_out is None:
-        t_out = ad.Zero.from_primal_value(out)
     return out, t_out
 
 

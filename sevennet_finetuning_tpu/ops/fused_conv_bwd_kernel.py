@@ -93,20 +93,24 @@ def _split3(v):
             lo.astype(jnp.bfloat16))
 
 
-def _emit_value(layout: CGLayout, mode: str, g_at, x_T, sh_T, w_T,
-                out_dim: int, TE: int):
-    """Feature-major contraction for one backward mode, returning the
-    assembled [out_dim, TE] value.
+def _emit_values(layout: CGLayout, modes, g_at, x_T, sh_T, w_T,
+                 out_dims, TE: int):
+    """Feature-major contractions for one OR MORE backward modes,
+    returning {mode: assembled [out_dim, TE] value}.
 
     ``g_at(off, n)`` returns rows [off:off+n] of the feature-major
     cotangent; ``x_T``/``sh_T``/``w_T`` are values (or None if unused
-    by the mode).  Same unrolled wigner-3j-sparse math as
+    by every requested mode).  Same unrolled wigner-3j-sparse math as
     fused_conv_kernel._emit, python-folded so shared products trace
-    once.
+    once -- and when several modes are emitted together (the fused
+    multi-mode backward kernel), the per-(path, k) ``g*w`` products
+    (used by 'x' and 'sh') and the per-(i, j) ``x*sh`` products (used
+    by 'msg' and 'w') are computed once and shared across modes.
     """
-    acc = {}
+    accs = {m: {} for m in modes}
 
-    def add(off, n, expr):
+    def add(m, off, n, expr):
+        acc = accs[m]
         if off in acc:
             acc[off] = (n, acc[off][1] + expr)
         else:
@@ -127,71 +131,86 @@ def _emit_value(layout: CGLayout, mode: str, g_at, x_T, sh_T, w_T,
         def g_sl(p, k, _m=mul):
             return g_at(p.msg_off + k * _m, _m)
 
-        if mode == 'msg':
-            t = {}
-            for p in grp.paths:
-                wp = w_sl(p)
-                for k in range(p.d_out):
+        # shared per-group caches (keyed per path object / (i, j) pair)
+        gw_cache = {}   # (id(p), k) -> g_sl(p, k) * w_sl(p)
+        t_cache = {}    # (i, j) -> x_sl(i) * sh_sl(j)
+
+        def gw(p, k):
+            key = (id(p), k)
+            if key not in gw_cache:
+                gw_cache[key] = g_sl(p, k) * w_sl(p)
+            return gw_cache[key]
+
+        def t(i, j):
+            if (i, j) not in t_cache:
+                t_cache[(i, j)] = x_sl(i) * sh_sl(j)
+            return t_cache[(i, j)]
+
+        for mode in modes:
+            if mode == 'msg':
+                for p in grp.paths:
+                    wp = w_sl(p)
+                    for k in range(p.d_out):
+                        expr = None
+                        for (kk, i, j, cc) in p.nnz:
+                            if kk != k:
+                                continue
+                            term = cc * t(i, j)
+                            expr = term if expr is None else expr + term
+                        if expr is not None:
+                            add(mode, p.msg_off + k * mul, mul, expr * wp)
+            elif mode == 'x':
+                for p in grp.paths:
+                    for (k, i, j, cc) in p.nnz:
+                        add(mode, grp.x_off + i * mul, mul,
+                            cc * sh_sl(j) * gw(p, k))
+            elif mode == 'sh':
+                # accumulate [mul, TE] per output component j and reduce
+                # ONCE -- a sublane reduction per nnz term was the sh
+                # mode's extra cost vs its siblings (round 5)
+                jacc = {}
+                for p in grp.paths:
+                    for (k, i, j, cc) in p.nnz:
+                        term = cc * x_sl(i) * gw(p, k)
+                        jacc[j] = term if j not in jacc else jacc[j] + term
+                for j, acc_j in jacc.items():
+                    add(mode, grp.sh_off + j, 1,
+                        jnp.sum(acc_j, axis=0, keepdims=True))
+            elif mode == 'w':
+                for p in grp.paths:
                     expr = None
-                    for (kk, i, j, cc) in p.nnz:
-                        if kk != k:
-                            continue
-                        if (i, j) not in t:
-                            t[(i, j)] = x_sl(i) * sh_sl(j)
-                        term = cc * t[(i, j)]
+                    for (k, i, j, cc) in p.nnz:
+                        term = cc * t(i, j) * g_sl(p, k)
                         expr = term if expr is None else expr + term
                     if expr is not None:
-                        add(p.msg_off + k * mul, mul, expr * wp)
-        elif mode == 'x':
-            for p in grp.paths:
-                wp = w_sl(p)
-                gw = {k: g_sl(p, k) * wp for k in
-                      sorted({kk for (kk, _, _, _) in p.nnz})}
-                for (k, i, j, cc) in p.nnz:
-                    add(grp.x_off + i * mul, mul,
-                        cc * sh_sl(j) * gw[k])
-        elif mode == 'sh':
-            # accumulate [mul, TE] per output component j and reduce
-            # ONCE -- a sublane reduction per nnz term was the sh
-            # mode's extra cost vs its siblings (round 5)
-            jacc = {}
-            for p in grp.paths:
-                wp = w_sl(p)
-                gw = {k: g_sl(p, k) * wp for k in
-                      sorted({kk for (kk, _, _, _) in p.nnz})}
-                for (k, i, j, cc) in p.nnz:
-                    term = cc * x_sl(i) * gw[k]
-                    jacc[j] = term if j not in jacc else jacc[j] + term
-            for j, acc_j in jacc.items():
-                add(grp.sh_off + j, 1,
-                    jnp.sum(acc_j, axis=0, keepdims=True))
-        elif mode == 'w':
-            t = {}
-            for p in grp.paths:
-                expr = None
-                for (k, i, j, cc) in p.nnz:
-                    if (i, j) not in t:
-                        t[(i, j)] = x_sl(i) * sh_sl(j)
-                    term = cc * t[(i, j)] * g_sl(p, k)
-                    expr = term if expr is None else expr + term
-                if expr is not None:
-                    add(p.w_off, mul, expr)
-        else:
-            raise ValueError(mode)
+                        add(mode, p.w_off, mul, expr)
+            else:
+                raise ValueError(mode)
 
     dt = jnp.float32
-    parts = []
-    pos = 0
-    for off in sorted(acc):
-        n, expr = acc[off]
-        assert off >= pos, 'overlapping output chunks'
-        if off > pos:
-            parts.append(jnp.zeros((off - pos, TE), dt))
-        parts.append(expr)
-        pos = off + n
-    if pos < out_dim:
-        parts.append(jnp.zeros((out_dim - pos, TE), dt))
-    return jnp.concatenate(parts, axis=0)
+    out = {}
+    for m in modes:
+        parts = []
+        pos = 0
+        for off in sorted(accs[m]):
+            n, expr = accs[m][off]
+            assert off >= pos, 'overlapping output chunks'
+            if off > pos:
+                parts.append(jnp.zeros((off - pos, TE), dt))
+            parts.append(expr)
+            pos = off + n
+        if pos < out_dims[m]:
+            parts.append(jnp.zeros((out_dims[m] - pos, TE), dt))
+        out[m] = jnp.concatenate(parts, axis=0)
+    return out
+
+
+def _emit_value(layout: CGLayout, mode: str, g_at, x_T, sh_T, w_T,
+                out_dim: int, TE: int):
+    """Single-mode wrapper over _emit_values (kept for the per-mode
+    kernels; identical expression structure)."""
+    return _emit_values(layout, (mode,), g_at, x_T, sh_T, w_T,
+                        {mode: out_dim}, TE)[mode]
 
 
 # map cg_node backward mode -> per-edge emit mode and leg roles
@@ -199,6 +218,8 @@ _EMIT_MODE = {'xn': 'x', 'shn': 'sh', 'wn': 'w'}
 # legs after ybar, per fused_conv_agg._MODE_LEGS
 _EDGE_LEGS = {'xn': ('sh', 'w'), 'shn': ('x', 'w'), 'wn': ('x', 'sh')}
 _OUT_LEG = {'xn': 'x', 'shn': 'sh', 'wn': 'w'}
+# which canonical edge legs each backward mode READS
+_READS = {'xn': ('sh', 'w'), 'shn': ('x', 'w'), 'wn': ('x', 'sh')}
 
 
 @functools.lru_cache(maxsize=None)
@@ -358,3 +379,163 @@ def bwd_pallas(ybar, b, c, dst, *, layout: CGLayout, mode: str,
                        b.shape[1], c.shape[1], d_out_real,
                        dim_msg_p, n_node, interpret)
     return call(dstc.reshape(1, E_pad), ybar_p, b, c)
+
+
+# ---------------------------------------------------------------------------
+# fused MULTI-mode backward: several cg_node backward modes that share one
+# (ybar, dst) -- and therefore one window-DMA + one-hot selection, the
+# dominant per-call cost (PROFILE.md section 6) -- in a single kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _build_multi_call(layout: CGLayout, jobs, TE: int, WB: int,
+                      n_et: int, E_rows: int, dim_x: int, dim_sh: int,
+                      dim_w: int, dim_msg_p: int, n_node: int,
+                      interpret: bool):
+    emit_modes = tuple(_EMIT_MODE[m] for m in jobs)
+    reads = sorted({leg for m in jobs for leg in _READS[m]})
+    out_dims = {'xn': dim_x, 'shn': dim_sh, 'wn': dim_w}
+
+    def kernel(dst_ref, ybar_hbm, x_ref, sh_ref, w_ref, *rest):
+        out_refs = rest[:len(jobs)]
+        g_ref, win, sem = rest[len(jobs):]
+        dst_t = dst_ref[0, :]                       # [TE] int32, sorted
+        lo = dst_ref[0, 0]
+        hi = dst_ref[0, TE - 1]
+        nb0 = lo // WB
+        nwin = hi // WB - nb0 + 1
+
+        @pl.when(lo >= n_node)
+        def _():
+            for o in out_refs:
+                o[:] = jnp.zeros_like(o)
+
+        @pl.when(lo < n_node)
+        def _():
+            def start_cp(i, slot):
+                start = pl.multiple_of((nb0 + i) * WB, WB)
+                pltpu.make_async_copy(
+                    ybar_hbm.at[pl.ds(start, WB), :], win.at[slot],
+                    sem.at[slot]).start()
+
+            # overlap the first window fetch with the leg transposes
+            start_cp(0, 0)
+            legs_T = {}
+            if 'x' in reads:
+                legs_T['x'] = x_ref[:].T            # [dim_x, TE]
+            if 'sh' in reads:
+                legs_T['sh'] = sh_ref[:].T
+            if 'w' in reads:
+                legs_T['w'] = w_ref[:].T
+
+            def wbody(i, carry):
+                slot = i % 2
+
+                @pl.when(i + 1 < nwin)
+                def _():
+                    start_cp(i + 1, (i + 1) % 2)
+
+                start = pl.multiple_of((nb0 + i) * WB, WB)
+                pltpu.make_async_copy(
+                    ybar_hbm.at[pl.ds(start, WB), :], win.at[slot],
+                    sem.at[slot]).wait()
+                rel = dst_t[None, :] - start        # [1, TE]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (WB, TE), 0)
+                oh = (iota == rel).astype(jnp.bfloat16)  # [WB, TE]
+                parts = jnp.concatenate(_split3(win[slot]), axis=0)
+                oh3 = jnp.concatenate([oh, oh, oh], axis=0)
+                acc = jax.lax.dot_general(
+                    parts, oh3,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+                @pl.when(i == 0)
+                def _():
+                    g_ref[:] = acc
+
+                @pl.when(i > 0)
+                def _():
+                    g_ref[:] += acc
+
+                return carry
+
+            jax.lax.fori_loop(0, nwin, wbody, 0)
+
+            def g_at(off, n):
+                return g_ref[off:off + n, :]
+
+            vals = _emit_values(
+                layout, emit_modes, g_at,
+                legs_T.get('x'), legs_T.get('sh'), legs_T.get('w'),
+                {_EMIT_MODE[m]: out_dims[m] for m in jobs}, TE,
+            )
+            for m, o in zip(jobs, out_refs):
+                o[:] = vals[_EMIT_MODE[m]].T
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_et,),
+            in_specs=[
+                pl.BlockSpec((1, TE), lambda e: (0, e),
+                             memory_space=pltpu.VMEM),       # dst
+                pl.BlockSpec(memory_space=pl.ANY),           # ybar HBM
+                pl.BlockSpec((TE, dim_x), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TE, dim_sh), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TE, dim_w), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TE, out_dims[m]), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM)
+                for m in jobs
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((dim_msg_p, TE), jnp.float32),    # g_T
+                pltpu.VMEM((2, WB, dim_msg_p), jnp.float32),  # windows
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((E_rows, out_dims[m]), jnp.float32)
+            for m in jobs
+        ],
+        interpret=interpret,
+    )
+
+
+def multi_pallas(ybar, x, sh, w, dst, *, layout: CGLayout, jobs,
+                 n_node: int, interpret: bool = False):
+    """Several cg_node backward modes fused into ONE gather kernel.
+
+    ybar: [n_node, dim_msg]; x/sh/w: edge-major canonical legs; dst:
+    [E] sorted with out-of-range sentinel padding.  ``jobs`` is a
+    static tuple drawn from ('xn', 'shn', 'wn'); returns one edge-major
+    array per job, each bitwise-identical to the corresponding
+    single-mode kernel (same window DMA, same stacked one-hot
+    selection, same emit expressions -- only shared, not recomputed).
+    """
+    E = dst.shape[0]
+    TE = _tile_e()
+    WB = _win(TE, E, n_node)
+    E_pad = -(-E // TE) * TE
+
+    dim_msg_p = _pad128(layout.dim_msg)
+    NBR = -(-(n_node + 1) // WB) * WB
+    ybar_p = jnp.pad(ybar, ((0, NBR - ybar.shape[0]),
+                            (0, dim_msg_p - ybar.shape[1])))
+
+    dstc = jnp.minimum(dst, n_node).astype(jnp.int32)
+    if E_pad != E:
+        dstc = jnp.pad(dstc, (0, E_pad - E), constant_values=n_node)
+
+    call = _build_multi_call(layout, tuple(jobs), TE, WB, E_pad // TE,
+                             E, layout.dim_x, layout.dim_sh,
+                             layout.dim_w, dim_msg_p, n_node, interpret)
+    return call(dstc.reshape(1, E_pad), ybar_p, x, sh, w)

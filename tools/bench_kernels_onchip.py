@@ -121,6 +121,23 @@ def main():
                 a, b, c, dst, layout=layout, mode=_m, n_node=N))(a, b, c)
             record(f'cg_node[{mode}] {sname} E={E}', got, want, 2e-6)
 
+        # fused multi-mode backward (round-5 cross-mode fusion): every
+        # output must match its single-mode oracle
+        from sevennet_finetuning_tpu.ops.fused_conv_bwd_kernel import (
+            multi_pallas,
+        )
+
+        jobs = ('xn', 'shn', 'wn')
+        gots = jax.jit(lambda y, x, s, w: multi_pallas(
+            y, x, s, w, dst, layout=layout, jobs=jobs, n_node=N))(
+                ybar, x_e, sh_e, w_e)
+        for mode, got in zip(jobs, gots):
+            a, b, c = nlegs[mode]
+            want = fca._impl(a, b, c, dst, layout=layout, mode=mode,
+                             n_node=N)
+            record(f'cg_node_multi[{mode}] {sname} E={E}', got, want,
+                   2e-6)
+
     # multi-window spans for the backward kernels (WB=8 forces several
     # ybar windows per edge tile)
     os.environ['SEVENN_BWD_WINDOW'] = '8'
