@@ -539,3 +539,171 @@ def multi_pallas(ybar, x, sh, w, dst, *, layout: CGLayout, jobs,
                              E, layout.dim_x, layout.dim_sh,
                              layout.dim_w, dim_msg_p, n_node, interpret)
     return call(dstc.reshape(1, E_pad), ybar_p, x, sh, w)
+
+
+# ---------------------------------------------------------------------------
+# GENERALIZED multi-mode backward: arbitrary jobs over ONE shared
+# (ybar, dst) with per-job edge legs drawn from an array pool, and
+# outputs grouped (jobs in one group accumulate) -- the kernel behind
+# cg_node_gmulti (see ops/fused_conv_multi.py): the transpose of a
+# joint JVP needs e.g. xn(ybar, ct_shn, w) + xn(ybar, sh, ct_wn) as one
+# output, sharing the ybar gather/selection with its sibling groups.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _build_gmulti_call(layout: CGLayout, jobs, groups, pool_dims,
+                       TE: int, WB: int, n_et: int, E_rows: int,
+                       dim_msg_p: int, n_node: int, interpret: bool):
+    """jobs: tuple of (emit_mode, b_idx, c_idx, group); groups: tuple of
+    group ids in OUTPUT order; pool_dims: dims of the pool arrays."""
+    out_dim_of = {'x': layout.dim_x, 'sh': layout.dim_sh,
+                  'w': layout.dim_w}
+    group_dim = {}
+    for (m, _, _, g) in jobs:
+        group_dim.setdefault(g, out_dim_of[m])
+
+    def kernel(dst_ref, ybar_hbm, *rest):
+        pool_refs = rest[:len(pool_dims)]
+        out_refs = rest[len(pool_dims):len(pool_dims) + len(groups)]
+        g_ref, win, sem = rest[len(pool_dims) + len(groups):]
+        dst_t = dst_ref[0, :]
+        lo = dst_ref[0, 0]
+        hi = dst_ref[0, TE - 1]
+        nb0 = lo // WB
+        nwin = hi // WB - nb0 + 1
+
+        @pl.when(lo >= n_node)
+        def _():
+            for o in out_refs:
+                o[:] = jnp.zeros_like(o)
+
+        @pl.when(lo < n_node)
+        def _():
+            def start_cp(i, slot):
+                start = pl.multiple_of((nb0 + i) * WB, WB)
+                pltpu.make_async_copy(
+                    ybar_hbm.at[pl.ds(start, WB), :], win.at[slot],
+                    sem.at[slot]).start()
+
+            start_cp(0, 0)
+            # transpose every pool array once (overlaps first window)
+            pool_T = [p_ref[:].T for p_ref in pool_refs]
+
+            def wbody(i, carry):
+                slot = i % 2
+
+                @pl.when(i + 1 < nwin)
+                def _():
+                    start_cp(i + 1, (i + 1) % 2)
+
+                start = pl.multiple_of((nb0 + i) * WB, WB)
+                pltpu.make_async_copy(
+                    ybar_hbm.at[pl.ds(start, WB), :], win.at[slot],
+                    sem.at[slot]).wait()
+                rel = dst_t[None, :] - start
+                iota = jax.lax.broadcasted_iota(jnp.int32, (WB, TE), 0)
+                oh = (iota == rel).astype(jnp.bfloat16)
+                parts = jnp.concatenate(_split3(win[slot]), axis=0)
+                oh3 = jnp.concatenate([oh, oh, oh], axis=0)
+                acc = jax.lax.dot_general(
+                    parts, oh3,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+                @pl.when(i == 0)
+                def _():
+                    g_ref[:] = acc
+
+                @pl.when(i > 0)
+                def _():
+                    g_ref[:] += acc
+
+                return carry
+
+            jax.lax.fori_loop(0, nwin, wbody, 0)
+
+            def g_at(off, n):
+                return g_ref[off:off + n, :]
+
+            # per-job emit; accumulate per group IN JOB ORDER (the
+            # transpose rule lists jobs in the same order it would have
+            # summed the separate calls)
+            acc_by_group = {}
+            for (m, bi, ci, grp) in jobs:
+                legs = {'x': None, 'sh': None, 'w': None}
+                b_leg, c_leg = {'x': ('sh', 'w'), 'sh': ('x', 'w'),
+                                'w': ('x', 'sh')}[m]
+                legs[b_leg] = pool_T[bi]
+                legs[c_leg] = pool_T[ci]
+                val = _emit_values(
+                    layout, (m,), g_at, legs['x'], legs['sh'],
+                    legs['w'], {m: group_dim[grp]}, TE)[m]
+                if grp in acc_by_group:
+                    acc_by_group[grp] = acc_by_group[grp] + val
+                else:
+                    acc_by_group[grp] = val
+            for grp, o in zip(groups, out_refs):
+                o[:] = acc_by_group[grp].T
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_et,),
+            in_specs=[
+                pl.BlockSpec((1, TE), lambda e: (0, e),
+                             memory_space=pltpu.VMEM),       # dst
+                pl.BlockSpec(memory_space=pl.ANY),           # ybar HBM
+            ] + [
+                pl.BlockSpec((TE, d), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM)
+                for d in pool_dims
+            ],
+            out_specs=[
+                pl.BlockSpec((TE, group_dim[g]), lambda e: (e, 0),
+                             memory_space=pltpu.VMEM)
+                for g in groups
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((dim_msg_p, TE), jnp.float32),
+                pltpu.VMEM((2, WB, dim_msg_p), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((E_rows, group_dim[g]), jnp.float32)
+            for g in groups
+        ],
+        interpret=interpret,
+    )
+
+
+def gmulti_pallas(ybar, pool, dst, *, layout: CGLayout, jobs, groups,
+                  n_node: int, interpret: bool = False):
+    """Generalized fused backward.  ``pool`` is a list of edge-major
+    arrays; ``jobs`` a tuple of (emit_mode, b_idx, c_idx, group) where
+    (b_idx, c_idx) index the pool in the mode's leg order; ``groups``
+    the distinct group ids in output order.  Jobs of one group
+    accumulate (f32, job order).  Gather + selection of ybar happen
+    once for all jobs."""
+    E = dst.shape[0]
+    TE = _tile_e()
+    WB = _win(TE, E, n_node)
+    E_pad = -(-E // TE) * TE
+
+    dim_msg_p = _pad128(layout.dim_msg)
+    NBR = -(-(n_node + 1) // WB) * WB
+    ybar_p = jnp.pad(ybar, ((0, NBR - ybar.shape[0]),
+                            (0, dim_msg_p - ybar.shape[1])))
+
+    dstc = jnp.minimum(dst, n_node).astype(jnp.int32)
+    if E_pad != E:
+        dstc = jnp.pad(dstc, (0, E_pad - E), constant_values=n_node)
+
+    call = _build_gmulti_call(
+        layout, tuple(jobs), tuple(groups),
+        tuple(int(p.shape[1]) for p in pool), TE, WB, E_pad // TE, E,
+        dim_msg_p, n_node, interpret)
+    return call(dstc.reshape(1, E_pad), ybar_p, *pool)

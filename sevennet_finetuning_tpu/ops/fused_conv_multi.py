@@ -162,6 +162,26 @@ def _multi_jvp(primals, tangents, *, jobs, layout, n_node):
     out = cg_node_multi(ybar, x, sh, w, dst, jobs=jobs, layout=layout,
                         n_node=n_node)
     tan = dict(zip(_CANON, tangents[:4]))
+    live_jobs = [
+        j for j in jobs
+        if any(not isinstance(tan[leg], ad.Zero)
+               for leg in _MODE_LEGS[j])
+    ]
+    if len(live_jobs) >= 2 and _use_multi():
+        # emit the whole cluster's tangent as ONE equation so the outer
+        # transpose can fuse every edge-side cotangent (see
+        # cg_node_multi_linsum)
+        tmask = tuple(l for l in _CANON
+                      if not isinstance(tan[l], ad.Zero))
+        t_live = cg_node_multi_linsum(
+            [tan[l] for l in tmask], [ybar, x, sh, w], dst,
+            jobs=tuple(live_jobs), tmask=tmask, layout=layout,
+            n_node=n_node)
+        t_of = dict(zip(live_jobs, t_live))
+        t_out = [t_of[j] if j in t_of
+                 else ad.Zero.from_primal_value(o)
+                 for j, o in zip(jobs, out)]
+        return out, t_out
     t_out = []
     for j, o in zip(jobs, out):
         legs = _MODE_LEGS[j]
@@ -416,3 +436,415 @@ def _linsum_batcher(args, dims, *, mode, mask, layout, n_node):
 
 
 batching.primitive_batchers[cg_node_linsum_p] = _linsum_batcher
+
+
+# ---------------------------------------------------------------------------
+# cg_node_gmulti: generalized fused backward -- arbitrary jobs over ONE
+# shared (ybar, dst) with per-job legs from an array pool, outputs
+# grouped (jobs of a group accumulate).  This is what the transpose of
+# a JOINT JVP needs: e.g. the x-cotangent of a fused (xn, shn, wn)
+# backward's tangent is xn(ybar, ct_shn, w) + xn(ybar, sh, ct_wn) --
+# two same-mode calls with different legs sharing the gather.
+# ---------------------------------------------------------------------------
+
+# emit-mode <-> node-mode naming
+_EMIT2NODE = {'x': 'xn', 'sh': 'shn', 'w': 'wn'}
+_NODE2EMIT = {v: k for k, v in _EMIT2NODE.items()}
+# leg roles (b, c) of each emit mode, in cg_node leg order after ybar
+_EMIT_LEGS = {'x': ('sh', 'w'), 'sh': ('x', 'w'), 'w': ('x', 'sh')}
+
+cg_node_gmulti_p = Primitive('cg_node_gmulti')
+cg_node_gmulti_p.multiple_results = True
+
+
+def cg_node_gmulti(ybar, pool, dst, *, jobs, groups, layout: CGLayout,
+                   n_node: int):
+    """Bind the generalized fused backward.  ``pool``: edge-major
+    arrays; ``jobs``: tuple of (emit_mode, b_idx, c_idx, group) with
+    (b_idx, c_idx) indexing the pool in the mode's leg order;
+    ``groups``: distinct group ids in output order."""
+    jobs = tuple(jobs)
+    groups = tuple(groups)
+    flat = _jcore.standard_insert_pvary(ybar, *pool, dst)
+    return cg_node_gmulti_p.bind(*flat, jobs=jobs, groups=groups,
+                                 layout=layout, n_node=int(n_node))
+
+
+def _group_emit(jobs, groups):
+    """emit mode of each group (jobs in one group share it)."""
+    out = {}
+    for (m, _, _, g) in jobs:
+        assert out.setdefault(g, m) == m, 'mixed emit modes in group'
+    return [out[g] for g in groups]
+
+
+def _gmulti_abstract(ybar, *rest, jobs, groups, layout, n_node):
+    pool, dst = rest[:-1], rest[-1]
+    E = dst.shape[0]
+    if ybar.shape != (n_node, layout.dim_msg):
+        raise ValueError(f'gmulti ybar: got {ybar.shape}')
+    for (m, bi, ci, _) in jobs:
+        bl, cl = _EMIT_LEGS[m]
+        for idx, leg in ((bi, bl), (ci, cl)):
+            want = (E, _leg_dim(layout, leg))
+            if pool[idx].shape != want:
+                raise ValueError(
+                    f'gmulti job {m}: pool[{idx}] is {pool[idx].shape},'
+                    f' want {want}')
+    vma = _jcore.standard_vma_rule('cg_node_gmulti', ybar, *rest)
+    return [
+        ybar.update(shape=(E, _leg_dim(layout, m)), vma=vma)
+        for m in _group_emit(jobs, groups)
+    ]
+
+
+cg_node_gmulti_p.def_abstract_eval(_gmulti_abstract)
+cg_node_gmulti_p.def_impl(
+    functools.partial(_jdispatch.apply_primitive, cg_node_gmulti_p))
+
+
+def _gmulti_lower(ybar, *rest, jobs, groups, layout, n_node):
+    pool, dst = rest[:-1], rest[-1]
+    acc = {}
+    for (m, bi, ci, grp) in jobs:
+        val = _single_impl(ybar, pool[bi], pool[ci], dst, layout=layout,
+                           mode=_EMIT2NODE[m], n_node=n_node)
+        acc[grp] = val if grp not in acc else acc[grp] + val
+    return [acc[g] for g in groups]
+
+
+def _gmulti_lower_tpu(ybar, *rest, jobs, groups, layout, n_node):
+    if _use_bwd_kernel() and _use_multi():
+        from .fused_conv_bwd_kernel import gmulti_pallas
+
+        pool, dst = rest[:-1], rest[-1]
+        return gmulti_pallas(ybar, list(pool), dst, layout=layout,
+                             jobs=jobs, groups=groups, n_node=n_node)
+    return _gmulti_lower(ybar, *rest, jobs=jobs, groups=groups,
+                         layout=layout, n_node=n_node)
+
+
+mlir.register_lowering(
+    cg_node_gmulti_p,
+    mlir.lower_fun(_gmulti_lower, multiple_results=True))
+mlir.register_lowering(
+    cg_node_gmulti_p,
+    mlir.lower_fun(_gmulti_lower_tpu, multiple_results=True),
+    platform='tpu')
+
+
+def _gmulti_jvp(primals, tangents, *, jobs, groups, layout, n_node):
+    ybar, rest = primals[0], primals[1:]
+    pool, dst = rest[:-1], rest[-1]
+    t_ybar, t_rest = tangents[0], tangents[1:]
+    t_pool = t_rest[:-1]
+    out = cg_node_gmulti(ybar, list(pool), dst, jobs=jobs,
+                         groups=groups, layout=layout, n_node=n_node)
+    t_by_group = {}
+
+    def accum(grp, v):
+        t_by_group[grp] = v if grp not in t_by_group \
+            else t_by_group[grp] + v
+
+    for (m, bi, ci, grp) in jobs:
+        mn = _EMIT2NODE[m]
+        b, c = pool[bi], pool[ci]
+        if not isinstance(t_ybar, ad.Zero):
+            accum(grp, cg_node_apply(mn, t_ybar, b, c, dst, layout,
+                                     n_node))
+        if not isinstance(t_pool[bi], ad.Zero):
+            accum(grp, cg_node_apply(mn, ybar, t_pool[bi], c, dst,
+                                     layout, n_node))
+        if not isinstance(t_pool[ci], ad.Zero):
+            accum(grp, cg_node_apply(mn, ybar, b, t_pool[ci], dst,
+                                     layout, n_node))
+    t_out = [
+        t_by_group.get(g) if g in t_by_group
+        else ad.Zero.from_primal_value(o)
+        for g, o in zip(groups, out)
+    ]
+    return out, t_out
+
+
+ad.primitive_jvps[cg_node_gmulti_p] = _gmulti_jvp
+
+
+def _gmulti_transpose(cts, ybar, *rest, jobs, groups, layout, n_node):
+    pool, dst = rest[:-1], rest[-1]
+    ct_of = dict(zip(groups, cts))
+    n_in = 1 + len(pool)
+    res = [None] * n_in
+
+    def accum(i, v):
+        res[i] = v if res[i] is None else res[i] + v
+
+    for (m, bi, ci, grp) in jobs:
+        ct = ct_of[grp]
+        if isinstance(ct, ad.Zero):
+            continue
+        bl, cl = _EMIT_LEGS[m]
+        # S_j canonical legs: the job's own target slot carries ct
+        canon = {'ybar': ybar, 'x': None, 'sh': None, 'w': None}
+        canon[m] = ct
+        canon[bl] = pool[bi]
+        canon[cl] = pool[ci]
+        if isinstance(ybar, ad.UndefinedPrimal):
+            accum(0, cg_node_apply(
+                'agg', canon['x'], canon['sh'], canon['w'], dst,
+                layout, n_node))
+        for idx, leg in ((bi, bl), (ci, cl)):
+            if isinstance(pool[idx], ad.UndefinedPrimal):
+                t_mode = _LEG_MODE[leg]
+                accum(1 + idx, cg_node_apply(
+                    t_mode, *(canon[l] for l in _MODE_LEGS[t_mode]),
+                    dst, layout, n_node))
+    out = []
+    for i, v in enumerate((ybar,) + tuple(pool)):
+        if isinstance(v, ad.UndefinedPrimal):
+            out.append(res[i] if res[i] is not None
+                       else ad.Zero(v.aval))
+        else:
+            out.append(None)
+    out.append(None)  # dst
+    return tuple(out)
+
+
+ad.primitive_transposes[cg_node_gmulti_p] = _gmulti_transpose
+
+
+def _gmulti_batcher(args, dims, *, jobs, groups, layout, n_node):
+    B = next(v.shape[d] for v, d in zip(args, dims)
+             if d is not batching.not_mapped)
+    moved = [_front(v, d, B) for v, d in zip(args, dims)]
+
+    def run(*flat):
+        ybar, pool, dst = flat[0], flat[1:-1], flat[-1]
+        return _gmulti_lower(ybar, *pool, dst, jobs=jobs, groups=groups,
+                             layout=layout, n_node=n_node)
+
+    outs = jax.vmap(run)(*moved)
+    return outs, [0] * len(groups)
+
+
+batching.primitive_batchers[cg_node_gmulti_p] = _gmulti_batcher
+
+
+# ---------------------------------------------------------------------------
+# cg_node_multi_linsum: the JOINT JVP of a cg_node_multi equation as
+# ONE multi-output equation -- so the outer transpose sees every
+# cotangent request of the cluster at once and can emit (a) the ybar
+# cotangent as per-job agg calls and (b) ALL edge-side cotangents as a
+# single cg_node_gmulti sharing one gather/selection.
+# ---------------------------------------------------------------------------
+
+cg_node_multi_linsum_p = Primitive('cg_node_multi_linsum')
+cg_node_multi_linsum_p.multiple_results = True
+
+
+def cg_node_multi_linsum(tangents, canon_legs, dst, *, jobs, tmask,
+                         layout: CGLayout, n_node: int):
+    """Bind the joint tangent of a multi-job backward: output per job j
+
+        sum_{leg in legs(m_j) & tmask} cg_node[m_j](legs_j with the
+                                       leg's tangent substituted)
+
+    ``tangents``: arrays for the canonical legs named in ``tmask``
+    (subset of _CANON, in _CANON order); ``canon_legs``: the four
+    primal canonical legs (ybar, x, sh, w)."""
+    tmask = tuple(tmask)
+    assert len(tangents) == len(tmask) >= 1
+    assert list(tmask) == [l for l in _CANON if l in tmask]
+    flat = _jcore.standard_insert_pvary(*tangents, *canon_legs, dst)
+    return cg_node_multi_linsum_p.bind(*flat, jobs=tuple(jobs),
+                                       tmask=tmask, layout=layout,
+                                       n_node=int(n_node))
+
+
+def _mls_split(args, tmask):
+    k = len(tmask)
+    return list(args[:k]), list(args[k:k + 4]), args[k + 4]
+
+
+def _mls_decomp(tangents, canon_legs, dst, *, jobs, tmask, layout,
+                n_node):
+    """Value: per job, the tangent-substituted sum in leg order --
+    matching the per-job linsum lowering it replaces bitwise."""
+    tan = dict(zip(tmask, tangents))
+    canon = dict(zip(_CANON, canon_legs))
+    outs = []
+    for j in jobs:
+        acc = None
+        for leg in _MODE_LEGS[j]:
+            if leg not in tan:
+                continue
+            args = [tan[leg] if l == leg else canon[l]
+                    for l in _MODE_LEGS[j]]
+            term = cg_node_apply(j, *args, dst, layout, n_node)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            E = dst.shape[0]
+            acc = jnp.zeros((E, _leg_dim(layout, _MODE_OUT[j])),
+                            canon_legs[0].dtype)
+        outs.append(acc)
+    return outs
+
+
+def _mls_abstract(*args, jobs, tmask, layout, n_node):
+    tangents, canon_legs, dst = _mls_split(args, tmask)
+    E = dst.shape[0]
+    vma = _jcore.standard_vma_rule('cg_node_multi_linsum', *args)
+    return [
+        args[0].update(shape=(E, _leg_dim(layout, _MODE_OUT[j])),
+                       vma=vma)
+        for j in jobs
+    ]
+
+
+cg_node_multi_linsum_p.def_abstract_eval(_mls_abstract)
+cg_node_multi_linsum_p.def_impl(
+    functools.partial(_jdispatch.apply_primitive,
+                      cg_node_multi_linsum_p))
+
+
+def _mls_lower(*args, jobs, tmask, layout, n_node):
+    tangents, canon_legs, dst = _mls_split(args, tmask)
+    return _mls_decomp(tangents, canon_legs, dst, jobs=jobs,
+                       tmask=tmask, layout=layout, n_node=n_node)
+
+
+mlir.register_lowering(
+    cg_node_multi_linsum_p,
+    mlir.lower_fun(_mls_lower, multiple_results=True))
+
+
+def _mls_transpose(cts, *args, jobs, tmask, layout, n_node):
+    """Cotangents for the tangent slots (all UndefinedPrimal): leg
+    l's cotangent collects cg_node[LEG_MODE[l]] over the jobs that
+    consume l, with ct_j standing at each job's own output slot.  The
+    edge-side targets ride ONE cg_node_gmulti (shared gather); jobs
+    are iterated in REVERSE to match the accumulation order of the
+    per-job-linsum graph this equation replaces."""
+    tangents, canon_legs, dst = _mls_split(args, tmask)
+    assert all(isinstance(t, ad.UndefinedPrimal) for t in tangents)
+    canon = dict(zip(_CANON, canon_legs))
+    live = [(j, ct) for j, ct in zip(jobs, cts)
+            if not isinstance(ct, ad.Zero)]
+    res = {l: None for l in tmask}
+
+    # ybar cotangent: per-job agg calls (node-side output)
+    if 'ybar' in tmask:
+        acc = None
+        for j, ct in reversed(live):
+            s = dict(canon)
+            s[_MODE_OUT[j]] = ct
+            term = cg_node_apply('agg', s['x'], s['sh'], s['w'], dst,
+                                 layout, n_node)
+            acc = term if acc is None else acc + term
+        res['ybar'] = acc
+
+    # edge-side cotangents: one gmulti over the shared (ybar, dst)
+    edge_targets = [l for l in tmask if l != 'ybar']
+    if edge_targets and live:
+        pool = []
+        pool_ids = {}
+
+        def pidx(arr):
+            key = id(arr)
+            if key not in pool_ids:
+                pool_ids[key] = len(pool)
+                pool.append(arr)
+            return pool_ids[key]
+
+        gjobs = []
+        hit = set()
+        for l in edge_targets:
+            for j, ct in reversed(live):
+                if l not in _MODE_LEGS[j] or l == _MODE_OUT[j]:
+                    continue
+                s = dict(canon)
+                s[_MODE_OUT[j]] = ct
+                bl, cl = _EMIT_LEGS[l]
+                gjobs.append((l, pidx(s[bl]), pidx(s[cl]), l))
+                hit.add(l)
+        if gjobs:
+            groups = [l for l in edge_targets if l in hit]
+            outs = cg_node_gmulti(canon['ybar'], pool, dst, jobs=gjobs,
+                                  groups=groups, layout=layout,
+                                  n_node=n_node)
+            for l, o in zip(groups, outs):
+                res[l] = o
+
+    out = []
+    for l, t in zip(tmask, tangents):
+        out.append(res[l] if res[l] is not None else ad.Zero(t.aval))
+    return tuple(out + [None] * 4 + [None])
+
+
+ad.primitive_transposes[cg_node_multi_linsum_p] = _mls_transpose
+
+
+def _mls_jvp(primals, tangents_in, *, jobs, tmask, layout, n_node):
+    """Differential of the joint tangent (third-order paths): expand
+    every term's per-input substitution via single calls."""
+    p_tan, p_legs, dst = _mls_split(primals, tmask)
+    d_tan, d_legs, _ = _mls_split(tangents_in, tmask)
+    out = cg_node_multi_linsum(p_tan, p_legs, dst, jobs=jobs,
+                               tmask=tmask, layout=layout,
+                               n_node=n_node)
+    tan = dict(zip(tmask, p_tan))
+    dtan = dict(zip(tmask, d_tan))
+    canon = dict(zip(_CANON, p_legs))
+    dcanon = dict(zip(_CANON, d_legs))
+    t_out = []
+    for j, o in zip(jobs, out):
+        acc = None
+
+        def accum(v):
+            nonlocal acc
+            acc = v if acc is None else acc + v
+
+        for leg in _MODE_LEGS[j]:
+            if leg not in tan:
+                continue
+            # term = cg_node[j](canon with tan[leg] at leg)
+            term_args = {l: (tan[leg] if l == leg else canon[l])
+                         for l in _MODE_LEGS[j]}
+            # tangent of the substituted slot
+            if not isinstance(dtan[leg], ad.Zero):
+                a = dict(term_args)
+                a[leg] = dtan[leg]
+                accum(cg_node_apply(
+                    j, *(a[l] for l in _MODE_LEGS[j]), dst, layout,
+                    n_node))
+            # tangents of the remaining primal slots
+            for l2 in _MODE_LEGS[j]:
+                if l2 == leg or isinstance(dcanon[l2], ad.Zero):
+                    continue
+                a = dict(term_args)
+                a[l2] = dcanon[l2]
+                accum(cg_node_apply(
+                    j, *(a[l] for l in _MODE_LEGS[j]), dst, layout,
+                    n_node))
+        t_out.append(acc if acc is not None
+                     else ad.Zero.from_primal_value(o))
+    return out, t_out
+
+
+ad.primitive_jvps[cg_node_multi_linsum_p] = _mls_jvp
+
+
+def _mls_batcher(args, dims, *, jobs, tmask, layout, n_node):
+    B = next(v.shape[d] for v, d in zip(args, dims)
+             if d is not batching.not_mapped)
+    moved = [_front(v, d, B) for v, d in zip(args, dims)]
+
+    def run(*flat):
+        tangents, canon_legs, dst = _mls_split(flat, tmask)
+        return _mls_decomp(tangents, canon_legs, dst, jobs=jobs,
+                           tmask=tmask, layout=layout, n_node=n_node)
+
+    outs = jax.vmap(run)(*moved)
+    return outs, [0] * len(jobs)
+
+
+batching.primitive_batchers[cg_node_multi_linsum_p] = _mls_batcher

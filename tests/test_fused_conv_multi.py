@@ -158,3 +158,164 @@ def test_linsum_transpose_emits_multi():
     assert len(multis) == 1
     # only the (dead) primal forward agg may remain as a single call
     assert len(singles) <= 1
+
+
+# ---------------------------------------------------------------------------
+# second fusion layer: cg_node_gmulti / cg_node_multi_linsum
+# ---------------------------------------------------------------------------
+
+from sevennet_finetuning_tpu.ops.fused_conv_bwd_kernel import gmulti_pallas
+from sevennet_finetuning_tpu.ops.fused_conv_multi import (
+    cg_node_gmulti,
+    cg_node_multi_linsum,
+)
+
+
+def test_gmulti_kernel_matches_composition():
+    """Interpret-mode generalized kernel == per-job XLA composition,
+    incl. two same-mode jobs accumulating into one group."""
+    layout, ybar, x, sh, w, dst = _data(_spec())
+    rng = np.random.default_rng(11)
+    ct_sh = jnp.asarray(rng.standard_normal(sh.shape), jnp.float32)
+    ct_w = jnp.asarray(rng.standard_normal(w.shape), jnp.float32)
+    # x-cotangent of a joint tangent: xn(ybar, ct_sh, w) + xn(ybar, sh, ct_w)
+    # plus a lone w-cotangent job: wn(ybar, x, ct_sh)
+    pool = [ct_sh, w, sh, ct_w, x]
+    jobs = (('x', 0, 1, 'gx'), ('x', 2, 3, 'gx'), ('w', 4, 0, 'gw'))
+    groups = ('gx', 'gw')
+    outs = gmulti_pallas(ybar, pool, dst, layout=layout, jobs=jobs,
+                         groups=groups, n_node=12, interpret=True)
+    want_gx = (_impl(ybar, ct_sh, w, dst, layout=layout, mode='xn',
+                     n_node=12)
+               + _impl(ybar, sh, ct_w, dst, layout=layout, mode='xn',
+                       n_node=12))
+    want_gw = _impl(ybar, x, ct_sh, dst, layout=layout, mode='wn',
+                    n_node=12)
+    np.testing.assert_allclose(outs[0], want_gx, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[1], want_gw, rtol=2e-5, atol=2e-5)
+
+
+def test_gmulti_primitive_jit_and_grad():
+    layout, ybar, x, sh, w, dst = _data(_spec(), E=33, N=9,
+                                        sentinel_tail=3)
+    rng = np.random.default_rng(12)
+    ct_sh = jnp.asarray(rng.standard_normal(sh.shape), jnp.float32)
+    pool = [ct_sh, w, sh, x]
+    jobs = (('x', 0, 1, 'gx'), ('w', 3, 0, 'gw'))
+    groups = ('gx', 'gw')
+
+    def f(ybar, ct_sh, w, sh, x):
+        outs = cg_node_gmulti(ybar, [ct_sh, w, sh, x], dst, jobs=jobs,
+                              groups=groups, layout=layout, n_node=9)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    v, gr = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))(
+        ybar, ct_sh, w, sh, x)
+    want_gx = _impl(ybar, ct_sh, w, dst, layout=layout, mode='xn',
+                    n_node=9)
+    want_gw = _impl(ybar, x, ct_sh, dst, layout=layout, mode='wn',
+                    n_node=9)
+    np.testing.assert_allclose(
+        float(v), float(jnp.sum(want_gx ** 2) + jnp.sum(want_gw ** 2)),
+        rtol=1e-5)
+    assert all(np.all(np.isfinite(g)) for g in gr)
+
+
+def test_second_layer_census():
+    """The grad-of-grad jaxpr must contain gmulti equations and NO
+    single-mode backward calls (every backward fused)."""
+    layout, ybar, x, sh, w, dst = _data(_spec(), E=64, N=10)
+    rng = np.random.default_rng(13)
+    g = jnp.asarray(rng.standard_normal((10, layout.dim_msg)),
+                    jnp.float32)
+
+    def loss(x, sh, w):
+        return jnp.sum(conv_aggregate(layout, x, sh, w, dst, 10) * g)
+
+    def outer(x, w):
+        fx, fsh, fw = jax.grad(loss, argnums=(0, 1, 2))(x, sh, w)
+        return jnp.sum(fx ** 2) + jnp.sum(fsh ** 2) + jnp.sum(fw ** 2)
+
+    old = os.environ.get('SEVENN_FUSED_MULTI')
+    os.environ['SEVENN_FUSED_MULTI'] = '1'
+    try:
+        jx = jax.make_jaxpr(jax.grad(outer, argnums=(0, 1)))(x, w)
+    finally:
+        if old is None:
+            os.environ.pop('SEVENN_FUSED_MULTI', None)
+        else:
+            os.environ['SEVENN_FUSED_MULTI'] = old
+    names = []
+
+    def walk(j):
+        for e in j.eqns:
+            names.append(e.primitive.name)
+            for p in e.params.values():
+                for q in (p if isinstance(p, (list, tuple)) else [p]):
+                    if hasattr(q, 'jaxpr'):
+                        walk(q.jaxpr)
+
+    walk(jx.jaxpr)
+    assert any(n == 'cg_node_gmulti' for n in names)
+    # every backward-mode call fused: remaining singles are agg only
+    from sevennet_finetuning_tpu.ops import fused_conv_agg as fca
+    modes = []
+
+    def walk2(j):
+        for e in j.eqns:
+            if e.primitive.name == 'cg_node_quadlinear':
+                modes.append(e.params['mode'])
+            for p in e.params.values():
+                for q in (p if isinstance(p, (list, tuple)) else [p]):
+                    if hasattr(q, 'jaxpr'):
+                        walk2(q.jaxpr)
+
+    walk2(jx.jaxpr)
+    assert all(m == 'agg' for m in modes), modes
+
+
+def test_multi_linsum_value_and_transpose_closure():
+    """linear_transpose through a multi_linsum equation equals the
+    transpose of its decomposition."""
+    layout, ybar, x, sh, w, dst = _data(_spec(), E=48, N=11)
+    jobs = ('xn', 'shn', 'wn')
+    tmask = ('ybar', 'x', 'w')
+
+    def f(tybar, tx, tw):
+        return tuple(cg_node_multi_linsum(
+            [tybar, tx, tw], [ybar, x, sh, w], dst, jobs=jobs,
+            tmask=tmask, layout=layout, n_node=11))
+
+    def f_ref(tybar, tx, tw):
+        outs = []
+        for j in jobs:
+            legs = {'ybar': ybar, 'x': x, 'sh': sh, 'w': w}
+            tan = {'ybar': tybar, 'x': tx, 'w': tw}
+            from sevennet_finetuning_tpu.ops.fused_conv_agg import (
+                _MODE_LEGS,
+            )
+            acc = None
+            for leg in _MODE_LEGS[j]:
+                if leg not in tan:
+                    continue
+                args = [tan[leg] if l == leg else legs[l]
+                        for l in _MODE_LEGS[j]]
+                term = _impl(*args, dst, layout=layout, mode=j,
+                             n_node=11)
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        return tuple(outs)
+
+    prim = (ybar, x, w)
+    va = f(*prim)
+    vb = f_ref(*prim)
+    for a, b in zip(va, vb):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    rng = np.random.default_rng(14)
+    cts = tuple(jnp.asarray(rng.standard_normal(o.shape), jnp.float32)
+                for o in va)
+    ta = jax.linear_transpose(f, *prim)(cts)
+    tb = jax.linear_transpose(f_ref, *prim)(cts)
+    for a, b in zip(ta, tb):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)

@@ -138,6 +138,32 @@ def main():
             record(f'cg_node_multi[{mode}] {sname} E={E}', got, want,
                    2e-6)
 
+        # generalized multi (second fusion layer): two same-mode jobs
+        # accumulating into one group + a lone job, one shared gather
+        from sevennet_finetuning_tpu.ops.fused_conv_bwd_kernel import (
+            gmulti_pallas,
+        )
+
+        gjobs = (('x', 0, 1, 'gx'), ('x', 2, 3, 'gx'),
+                 ('w', 4, 0, 'gw'))
+        ct_sh = jnp.asarray(
+            rng.standard_normal(sh_e.shape), jnp.float32)
+        ct_w = jnp.asarray(rng.standard_normal(w_e.shape), jnp.float32)
+        pool = [ct_sh, w_e, sh_e, ct_w, x_e]
+        g_gots = jax.jit(lambda y, *p: gmulti_pallas(
+            y, list(p), dst, layout=layout, jobs=gjobs,
+            groups=('gx', 'gw'), n_node=N))(ybar, *pool)
+        want_gx = (fca._impl(ybar, ct_sh, w_e, dst, layout=layout,
+                             mode='xn', n_node=N)
+                   + fca._impl(ybar, sh_e, ct_w, dst, layout=layout,
+                               mode='xn', n_node=N))
+        want_gw = fca._impl(ybar, x_e, ct_sh, dst, layout=layout,
+                            mode='wn', n_node=N)
+        record(f'cg_node_gmulti[gx 2-job] {sname} E={E}', g_gots[0],
+               want_gx, 2e-6)
+        record(f'cg_node_gmulti[gw] {sname} E={E}', g_gots[1],
+               want_gw, 2e-6)
+
     # multi-window spans for the backward kernels (WB=8 forces several
     # ybar windows per edge tile)
     os.environ['SEVENN_BWD_WINDOW'] = '8'
