@@ -222,3 +222,133 @@ def agg_pallas(x, sh, w, dst, *, layout: CGLayout, n_node: int,
     )(bounds, dst.reshape(n_et, 1, TE), x.reshape(n_et, TE, -1),
       sh.reshape(n_et, TE, -1), w.reshape(n_et, TE, -1))
     return out[:n_node]
+
+
+# ---------------------------------------------------------------------------
+# GROUPED scatter-fused convolution: several agg terms over one shared
+# dst, each term a (x, sh, w) triple drawn from an array pool -- the
+# ybar cotangent of a joint backward tangent is agg(ct_x, sh, w) +
+# agg(x, ct_sh, w) + agg(x, sh, ct_w) (see ops/fused_conv_multi), three
+# kernels re-streaming overlapping slabs.  One kernel shares the pool
+# DMA and the visit loop; each term keeps its OWN f32 accumulator and
+# the final output combines them left-associatively in term order, so
+# the result is bitwise-identical to the separate kernels + XLA adds.
+# ---------------------------------------------------------------------------
+
+
+def _gagg_kernel(TN, TE, layout, terms, n_pool, bounds_ref, dst_ref,
+                 *rest):
+    pool_refs = rest[:n_pool]
+    out_ref = rest[n_pool]
+    accs = rest[n_pool + 1:n_pool + 1 + len(terms)]
+    bufs = rest[n_pool + 1 + len(terms):n_pool + 1 + len(terms)
+                + 1 + n_pool]
+    dst_buf, pool_bufs = bufs[0], bufs[1:]
+    sems = rest[n_pool + 1 + len(terms) + 1 + n_pool:]
+    sem_d, pool_sems = sems[0], sems[1:]
+
+    nt = pl.program_id(0)
+    lo = bounds_ref[nt, 0]
+    hi = bounds_ref[nt, 1]
+    for a in accs:
+        a[:] = jnp.zeros_like(a)
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0) + nt * TN
+    )
+
+    def copies(et, slot):
+        cs = [pltpu.make_async_copy(dst_ref.at[et], dst_buf.at[slot],
+                                    sem_d.at[slot])]
+        for p_ref, p_buf, p_sem in zip(pool_refs, pool_bufs, pool_sems):
+            cs.append(pltpu.make_async_copy(
+                p_ref.at[et], p_buf.at[slot], p_sem.at[slot]))
+        return cs
+
+    @pl.when(lo < hi)
+    def _():
+        for c in copies(lo, lo % 2):
+            c.start()
+
+    def body(et, carry):
+        slot = et % 2
+
+        @pl.when(et + 1 < hi)
+        def _():
+            for c in copies(et + 1, (et + 1) % 2):
+                c.start()
+
+        for c in copies(et, slot):
+            c.wait()
+
+        oh = (row_ids == dst_buf[slot])
+        from .fused_conv_bwd_kernel import _emit_value
+
+        for acc, (xi, si, wi) in zip(accs, terms):
+            msg_T = _emit_value(
+                layout, 'msg', None, pool_bufs[xi][slot][:].T,
+                pool_bufs[si][slot][:].T, pool_bufs[wi][slot][:].T,
+                layout.dim_msg, TE)
+            acc[:] += jax.lax.dot_general(
+                oh.astype(jnp.float32), msg_T,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(acc.dtype)
+        return carry
+
+    jax.lax.fori_loop(lo, hi, body, 0)
+    total = accs[0][:]
+    for a in accs[1:]:
+        total = total + a[:]
+    out_ref[:] = total
+
+
+def gagg_pallas(pool, dst, *, layout: CGLayout, terms, n_node: int,
+                interpret: bool = False):
+    """Sum of agg terms -> [n_node, dim_msg].  ``pool``: edge-major
+    arrays; ``terms``: tuple of (x_idx, sh_idx, w_idx) pool indices,
+    combined left-associatively in order."""
+    E = dst.shape[0]
+    TN, TE = _tiles()
+    # grouped accumulators + one slab pair per pool entry: halve the
+    # edge tile to stay inside VMEM at SevenNet-0 dims
+    TE = min(TE, int(os.environ.get('SEVENN_GAGG_EDGE_TILE', '128')))
+    E_pad = -(-E // TE) * TE
+    N_pad = -(-n_node // TN) * TN
+    pool = [jnp.pad(p, ((0, E_pad - E),
+                        (0, _col_pad(p.shape[1]) - p.shape[1])))
+            for p in pool]
+    if E_pad != E:
+        dst = jnp.pad(dst, (0, E_pad - E), constant_values=N_pad)
+    dst = jnp.minimum(dst, N_pad)
+    n_et = E_pad // TE
+    NT = N_pad // TN
+    bounds = _tile_bounds(dst, NT, TN, TE)
+    D = layout.dim_msg
+    dt = pool[0].dtype
+
+    out = pl.pallas_call(
+        functools.partial(_gagg_kernel, TN, TE, layout, tuple(terms),
+                          len(pool)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NT,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+            * (1 + len(pool)),
+            out_specs=pl.BlockSpec(
+                (TN, D), lambda nt, bounds: (nt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=(
+                [pltpu.VMEM((TN, D), jnp.float32)] * len(terms)
+                + [pltpu.VMEM((2, 1, TE), jnp.int32)]
+                + [pltpu.VMEM((2, TE, _col_pad(p.shape[1])), dt)
+                   for p in pool]
+                + [pltpu.SemaphoreType.DMA((2,))] * (1 + len(pool))
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_pad, D), dt),
+        interpret=interpret,
+    )(bounds, dst.reshape(n_et, 1, TE),
+      *[p.reshape(n_et, TE, -1) for p in pool])
+    return out[:n_node]

@@ -731,16 +731,34 @@ def _mls_transpose(cts, *args, jobs, tmask, layout, n_node):
             if not isinstance(ct, ad.Zero)]
     res = {l: None for l in tmask}
 
-    # ybar cotangent: per-job agg calls (node-side output)
-    if 'ybar' in tmask:
-        acc = None
+    # ybar cotangent: a sum of agg terms -- one grouped kernel when
+    # several (shared slab DMA + visit loop, per-term accumulators keep
+    # the sum bitwise the separate kernels + XLA adds)
+    if 'ybar' in tmask and live:
+        term_legs = []
         for j, ct in reversed(live):
             s = dict(canon)
             s[_MODE_OUT[j]] = ct
-            term = cg_node_apply('agg', s['x'], s['sh'], s['w'], dst,
-                                 layout, n_node)
-            acc = term if acc is None else acc + term
-        res['ybar'] = acc
+            term_legs.append((s['x'], s['sh'], s['w']))
+        if len(term_legs) == 1:
+            res['ybar'] = cg_node_apply('agg', *term_legs[0], dst,
+                                        layout, n_node)
+        else:
+            pool = []
+            pool_ids = {}
+
+            def pidx_a(arr):
+                key = id(arr)
+                if key not in pool_ids:
+                    pool_ids[key] = len(pool)
+                    pool.append(arr)
+                return pool_ids[key]
+
+            terms = tuple(
+                (pidx_a(xx), pidx_a(ss), pidx_a(ww))
+                for (xx, ss, ww) in term_legs)
+            res['ybar'] = cg_node_gagg(pool, dst, terms=terms,
+                                       layout=layout, n_node=n_node)
 
     # edge-side cotangents: one gmulti over the shared (ybar, dst)
     edge_targets = [l for l in tmask if l != 'ybar']
@@ -848,3 +866,143 @@ def _mls_batcher(args, dims, *, jobs, tmask, layout, n_node):
 
 
 batching.primitive_batchers[cg_node_multi_linsum_p] = _mls_batcher
+
+
+# ---------------------------------------------------------------------------
+# cg_node_gagg: grouped forward/agg terms over one shared dst -- the
+# ybar cotangent of a joint tangent is a SUM of agg terms with legs
+# drawn from a pool; one kernel shares the slab DMA and visit loop
+# (ops/fused_conv_agg_kernel.gagg_pallas), keeping one accumulator per
+# term so the sum is bitwise the separate-kernels + XLA adds.
+# ---------------------------------------------------------------------------
+
+cg_node_gagg_p = Primitive('cg_node_gagg')
+
+
+def cg_node_gagg(pool, dst, *, terms, layout: CGLayout, n_node: int):
+    """Bind sum of agg terms; ``terms``: tuple of (x_idx, sh_idx,
+    w_idx) into ``pool``, combined left-associatively in order."""
+    terms = tuple(terms)
+    assert terms
+    flat = _jcore.standard_insert_pvary(*pool, dst)
+    return cg_node_gagg_p.bind(*flat, terms=terms, layout=layout,
+                               n_node=int(n_node))
+
+
+def _gagg_abstract(*args, terms, layout, n_node):
+    pool, dst = args[:-1], args[-1]
+    E = dst.shape[0]
+    dims = {'x': layout.dim_x, 'sh': layout.dim_sh, 'w': layout.dim_w}
+    for (xi, si, wi) in terms:
+        for idx, leg in ((xi, 'x'), (si, 'sh'), (wi, 'w')):
+            if pool[idx].shape != (E, dims[leg]):
+                raise ValueError(
+                    f'gagg: pool[{idx}] is {pool[idx].shape}, want '
+                    f'({E}, {dims[leg]})')
+    vma = _jcore.standard_vma_rule('cg_node_gagg', *args)
+    return args[0].update(shape=(n_node, layout.dim_msg), vma=vma)
+
+
+cg_node_gagg_p.def_abstract_eval(_gagg_abstract)
+cg_node_gagg_p.def_impl(
+    functools.partial(_jdispatch.apply_primitive, cg_node_gagg_p))
+
+
+def _gagg_lower(*args, terms, layout, n_node):
+    pool, dst = args[:-1], args[-1]
+    acc = None
+    for (xi, si, wi) in terms:
+        term = _single_impl(pool[xi], pool[si], pool[wi], dst,
+                            layout=layout, mode='agg', n_node=n_node)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _gagg_lower_tpu(*args, terms, layout, n_node):
+    if _use_bwd_kernel() and _use_multi():
+        from .fused_conv_agg_kernel import gagg_pallas
+
+        pool, dst = args[:-1], args[-1]
+        return gagg_pallas(list(pool), dst, layout=layout, terms=terms,
+                           n_node=n_node)
+    return _gagg_lower(*args, terms=terms, layout=layout,
+                       n_node=n_node)
+
+
+mlir.register_lowering(
+    cg_node_gagg_p, mlir.lower_fun(_gagg_lower, multiple_results=False))
+mlir.register_lowering(
+    cg_node_gagg_p,
+    mlir.lower_fun(_gagg_lower_tpu, multiple_results=False),
+    platform='tpu')
+
+
+def _gagg_jvp(primals, tangents, *, terms, layout, n_node):
+    pool, dst = primals[:-1], primals[-1]
+    t_pool = tangents[:-1]
+    out = cg_node_gagg(list(pool), dst, terms=terms, layout=layout,
+                       n_node=n_node)
+    t_out = None
+    for (xi, si, wi) in terms:
+        for pos, idx in enumerate((xi, si, wi)):
+            if isinstance(t_pool[idx], ad.Zero):
+                continue
+            legs = [pool[xi], pool[si], pool[wi]]
+            legs[pos] = t_pool[idx]
+            term = cg_node_apply('agg', *legs, dst, layout, n_node)
+            t_out = term if t_out is None else t_out + term
+    if t_out is None:
+        t_out = ad.Zero.from_primal_value(out)
+    return out, t_out
+
+
+ad.primitive_jvps[cg_node_gagg_p] = _gagg_jvp
+
+
+def _gagg_transpose(ct, *args, terms, layout, n_node):
+    pool, dst = args[:-1], args[-1]
+    res = [None] * len(pool)
+    if isinstance(ct, ad.Zero):
+        return tuple([ad.Zero(p.aval)
+                      if isinstance(p, ad.UndefinedPrimal) else None
+                      for p in pool] + [None])
+
+    def accum(i, v):
+        res[i] = v if res[i] is None else res[i] + v
+
+    for (xi, si, wi) in terms:
+        # ct stands at the ybar slot of this term's quadrilinear S
+        canon = {'ybar': ct, 'x': pool[xi], 'sh': pool[si],
+                 'w': pool[wi]}
+        for idx, leg in ((xi, 'x'), (si, 'sh'), (wi, 'w')):
+            if isinstance(pool[idx], ad.UndefinedPrimal):
+                t_mode = _LEG_MODE[leg]
+                accum(idx, cg_node_apply(
+                    t_mode, *(canon[l] for l in _MODE_LEGS[t_mode]),
+                    dst, layout, n_node))
+    out = []
+    for p, r in zip(pool, res):
+        if isinstance(p, ad.UndefinedPrimal):
+            out.append(r if r is not None else ad.Zero(p.aval))
+        else:
+            out.append(None)
+    out.append(None)
+    return tuple(out)
+
+
+ad.primitive_transposes[cg_node_gagg_p] = _gagg_transpose
+
+
+def _gagg_batcher(args, dims, *, terms, layout, n_node):
+    B = next(v.shape[d] for v, d in zip(args, dims)
+             if d is not batching.not_mapped)
+    moved = [_front(v, d, B) for v, d in zip(args, dims)]
+
+    def run(*flat):
+        return _gagg_lower(*flat, terms=terms, layout=layout,
+                           n_node=n_node)
+
+    return jax.vmap(run)(*moved), 0
+
+
+batching.primitive_batchers[cg_node_gagg_p] = _gagg_batcher

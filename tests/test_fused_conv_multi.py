@@ -319,3 +319,51 @@ def test_multi_linsum_value_and_transpose_closure():
     tb = jax.linear_transpose(f_ref, *prim)(cts)
     for a, b in zip(ta, tb):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_gagg_kernel_matches_composition():
+    """Interpret-mode grouped-agg kernel == sum of single agg impls
+    (left-associative, bitwise-preserving accumulators)."""
+    from sevennet_finetuning_tpu.ops.fused_conv_agg_kernel import (
+        gagg_pallas,
+    )
+
+    layout, ybar, x, sh, w, dst = _data(_spec())
+    rng = np.random.default_rng(21)
+    ct_x = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    ct_sh = jnp.asarray(rng.standard_normal(sh.shape), jnp.float32)
+    ct_w = jnp.asarray(rng.standard_normal(w.shape), jnp.float32)
+    pool = [ct_x, sh, w, x, ct_sh, ct_w]
+    terms = ((0, 1, 2), (3, 4, 2), (3, 1, 5))
+    got = gagg_pallas(pool, dst, layout=layout, terms=terms, n_node=12,
+                      interpret=True)
+    want = (_impl(ct_x, sh, w, dst, layout=layout, mode='agg', n_node=12)
+            + _impl(x, ct_sh, w, dst, layout=layout, mode='agg',
+                    n_node=12)
+            + _impl(x, sh, ct_w, dst, layout=layout, mode='agg',
+                    n_node=12))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_gagg_primitive_grad():
+    from sevennet_finetuning_tpu.ops.fused_conv_multi import cg_node_gagg
+
+    layout, ybar, x, sh, w, dst = _data(_spec(), E=33, N=9,
+                                        sentinel_tail=3)
+    rng = np.random.default_rng(22)
+    ct_sh = jnp.asarray(rng.standard_normal(sh.shape), jnp.float32)
+
+    def f(x, sh, w, ct_sh):
+        out = cg_node_gagg([x, sh, w, ct_sh], dst,
+                           terms=((0, 1, 2), (0, 3, 2)),
+                           layout=layout, n_node=9)
+        return jnp.sum(out ** 2)
+
+    v, gr = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3)))(
+        x, sh, w, ct_sh)
+    want = (_impl(x, sh, w, dst, layout=layout, mode='agg', n_node=9)
+            + _impl(x, ct_sh, w, dst, layout=layout, mode='agg',
+                    n_node=9))
+    np.testing.assert_allclose(float(v), float(jnp.sum(want ** 2)),
+                               rtol=1e-5)
+    assert all(np.all(np.isfinite(g)) for g in gr)

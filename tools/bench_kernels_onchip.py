@@ -164,6 +164,27 @@ def main():
         record(f'cg_node_gmulti[gw] {sname} E={E}', g_gots[1],
                want_gw, 2e-6)
 
+        # grouped agg (second fusion layer, ybar-cotangent side): three
+        # terms over a shared pool, one kernel, per-term accumulators
+        from sevennet_finetuning_tpu.ops.fused_conv_agg_kernel import (
+            gagg_pallas,
+        )
+
+        ct_x = jnp.asarray(rng.standard_normal(x_e.shape), jnp.float32)
+        gg_pool = [ct_x, sh_e, w_e, x_e, ct_sh, ct_w]
+        gg_terms = ((0, 1, 2), (3, 4, 2), (3, 1, 5))
+        gg_got = jax.jit(lambda *p: gagg_pallas(
+            list(p), dst, layout=layout, terms=gg_terms, n_node=N))(
+                *gg_pool)
+        gg_want = (fca._impl(ct_x, sh_e, w_e, dst, layout=layout,
+                             mode='agg', n_node=N)
+                   + fca._impl(x_e, ct_sh, w_e, dst, layout=layout,
+                               mode='agg', n_node=N)
+                   + fca._impl(x_e, sh_e, ct_w, dst, layout=layout,
+                               mode='agg', n_node=N))
+        record(f'cg_node_gagg[3-term] {sname} E={E}', gg_got, gg_want,
+               2e-6)
+
     # multi-window spans for the backward kernels (WB=8 forces several
     # ybar windows per edge tile)
     os.environ['SEVENN_BWD_WINDOW'] = '8'
